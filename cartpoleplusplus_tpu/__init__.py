@@ -1,0 +1,14 @@
+"""cartpoleplusplus_tpu — a TPU-native vectorized 3D cart-pole RL framework.
+
+A from-scratch rebuild of the capabilities of rebcabin/cartpoleplusplus
+(PyBullet 3D cart-pole + DDPG/DQN/NAF/LRPG trainers) in idiomatic
+JAX/XLA/Pallas: batched closed-form rigid-body stepping under jit, masked
+auto-reset, device-resident lax.scan rollouts, on-device agents, and env
+batches sharded over TPU meshes via XLA collectives.
+"""
+
+__version__ = "0.1.0"
+
+from . import physics
+
+__all__ = ["physics", "__version__"]
