@@ -9,6 +9,16 @@ batches sharded over TPU meshes via XLA collectives.
 
 __version__ = "0.1.0"
 
-from . import physics
+from . import env, physics
+from .env import CartPole3D, EnvState
+from .physics import CartPoleParams, continuous_params
 
-__all__ = ["physics", "__version__"]
+__all__ = [
+    "physics",
+    "env",
+    "CartPole3D",
+    "EnvState",
+    "CartPoleParams",
+    "continuous_params",
+    "__version__",
+]

@@ -1,0 +1,277 @@
+"""Vectorized 3D cart-pole environment — batched, jitted, device-resident.
+
+Reference counterpart: `bullet_cartpole.py::BulletCartpole(gym.Env)` in
+rebcabin/cartpoleplusplus — action mapping (discrete 5-way noop/+x/-x/+y/-y
+or continuous (fx, fy)), action-repeat with several physics substeps per
+repeat, random push perturbations, pose-stack observations in lieu of
+velocities, tilt/position/length termination, +1-or-shaped reward, and
+per-episode reset (mechanics per /root/repo/BASELINE.json:5-12; the
+reference mount was empty this session).
+
+TPU-native redesign (NOT a port):
+  * the batch axis is built into every array — there is no per-env object,
+    no Python in the hot path; `step` is one pure jittable function;
+  * per-episode Python `reset()` becomes masked auto-reset
+    (`tree.map(where(done, ...))`) inside the same jitted step;
+  * the ~15 Python<->C++ pybullet crossings per env-step become zero:
+    action map, substeps, pushes, obs assembly, termination, reward and
+    reset fuse into one XLA program (and one Pallas kernel in ops/);
+  * randomness is a pure function of (per-env key, episode step), with
+    per-env keys derived from the global env index — results are identical
+    under any sharding layout (multi-host determinism).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..physics import (
+    CartPoleParams,
+    PhysState,
+    apply_push_impulse,
+    pole_w,
+    rest_state,
+    run_substeps,
+)
+from .obs import (
+    OBS_MODES,
+    obs_size,
+    pose_frame,
+    stack_obs,
+    state_obs,
+)
+
+# Discrete action -> force direction table (noop, +x, -x, +y, -y).
+# Reference: the 5-way discrete action space of `bullet_cartpole.py`.
+_ACTION_TABLE = jnp.array(
+    [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]],
+    dtype=jnp.float32,
+)
+
+
+class EnvState(NamedTuple):
+    """Full per-env state pytree. Leaves have leading batch dim (B,)."""
+
+    phys: PhysState       # physical coordinates
+    steps: jax.Array      # (B,) int32 — steps elapsed in current episode
+    key: jax.Array        # (B, 2) uint32 — per-env PRNG key (fixed per episode-stream)
+    episode: jax.Array    # (B,) int32 — episode counter (salts per-episode RNG)
+
+
+def _uniform_from_key(key, minval, maxval, shape=()):
+    return jax.random.uniform(key, shape, minval=minval, maxval=maxval)
+
+
+def reset_randomness(p: CartPoleParams, env_key, episode):
+    """Initial push impulse for one env: direction uniform on the circle,
+    magnitude uniform in [0.2, 1] * initial_push_force. Pure function of
+    (per-env key, episode index) — sharding-independent."""
+    k = jax.random.fold_in(jax.random.fold_in(env_key, episode), 0x5E5E7)
+    ka, km = jax.random.split(k)
+    ang = _uniform_from_key(ka, 0.0, 2.0 * jnp.pi)
+    mag = _uniform_from_key(km, 0.2, 1.0) * p.initial_push_force
+    return jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)])
+
+
+def push_randomness(p: CartPoleParams, env_key, episode, step, repeat):
+    """Mid-episode push force for one (env, step, repeat): zero with prob
+    1 - push_prob_per_repeat, else uniform direction / magnitude."""
+    k = jax.random.fold_in(jax.random.fold_in(env_key, episode), step)
+    k = jax.random.fold_in(k, repeat + 1)
+    kp, ka, km = jax.random.split(k, 3)
+    gate = _uniform_from_key(kp, 0.0, 1.0) < p.push_prob_per_repeat
+    ang = _uniform_from_key(ka, 0.0, 2.0 * jnp.pi)
+    mag = _uniform_from_key(km, 0.0, 1.0) * p.push_force
+    return jnp.where(gate, 1.0, 0.0) * jnp.stack(
+        [mag * jnp.cos(ang), mag * jnp.sin(ang)])
+
+
+def _reset_phys(p: CartPoleParams, env_key, episode) -> PhysState:
+    """Fresh episode state for one env: upright rest pose + random push
+    impulse (the reference applies a random force over the first substeps;
+    the impulse through the mass matrix is the equivalent momentum
+    transfer — physics/dynamics.py:apply_push_impulse)."""
+    st = rest_state(p)
+    push = reset_randomness(p, env_key, episode)
+    return apply_push_impulse(p, st, push, p.initial_push_duration)
+
+
+def _map_action(p: CartPoleParams, action) -> jax.Array:
+    """Agent action -> cart force (B, 2)."""
+    if p.discrete_actions:
+        return _ACTION_TABLE[action] * p.action_force
+    return jnp.clip(action, -1.0, 1.0) * p.action_force
+
+
+def _termination(p: CartPoleParams, phys: PhysState, steps):
+    s2 = jnp.sum(phys.s * phys.s, axis=-1)
+    tilted = s2 > p.tilt_s2_limit
+    oob = (jnp.abs(phys.pos[..., 0]) > p.pos_limit) | (
+        jnp.abs(phys.pos[..., 1]) > p.pos_limit)
+    too_long = steps >= p.max_episode_steps
+    return tilted, oob, too_long
+
+
+def _reward(p: CartPoleParams, phys: PhysState, done_physical):
+    """+1 per surviving step (discrete parity), or shaped angle/position
+    reward for the continuous variant (/root/repo/BASELINE.json:9)."""
+    if not p.reward_shaped:
+        return jnp.where(done_physical, 0.0, 1.0)
+    s2 = jnp.sum(phys.s * phys.s, axis=-1)
+    d2 = phys.pos[..., 0] ** 2 + phys.pos[..., 1] ** 2
+    shaped = (1.0
+              - 0.5 * s2 / p.tilt_s2_limit
+              - 0.5 * d2 / (p.pos_limit * p.pos_limit))
+    return jnp.where(done_physical, 0.0, jnp.maximum(shaped, 0.0))
+
+
+class CartPole3D:
+    """Functional batched env. All methods are pure and jit-friendly;
+    `self` only carries static configuration (hashable params + ints).
+
+    Usage:
+        env = CartPole3D(CartPoleParams(), num_envs=4096)
+        state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        state, obs, reward, done, info = jax.jit(env.step)(state, action)
+    """
+
+    def __init__(self, params: CartPoleParams = CartPoleParams(),
+                 num_envs: int = 1, obs_mode: str = "pose_stack",
+                 auto_reset: bool = True):
+        if obs_mode not in OBS_MODES:
+            raise ValueError(f"obs_mode must be one of {OBS_MODES}")
+        self.params = params
+        self.num_envs = num_envs
+        self.obs_mode = obs_mode
+        self.auto_reset = auto_reset
+
+    # --- spaces ------------------------------------------------------------
+    @property
+    def num_actions(self) -> int:
+        """5 for the discrete variant (reference's noop/+-x/+-y)."""
+        return 5 if self.params.discrete_actions else 0
+
+    @property
+    def action_dim(self) -> int:
+        """2 for the continuous variant (fx, fy in [-1, 1])."""
+        return 0 if self.params.discrete_actions else 2
+
+    @property
+    def obs_size(self) -> int:
+        return obs_size(self.params, self.obs_mode)
+
+    # --- episode API ---------------------------------------------------------
+    def reset(self, key) -> tuple[EnvState, jax.Array]:
+        """Fresh state for all envs. Per-env keys are derived from the
+        global env index so results are sharding-layout independent."""
+        b = self.num_envs
+        env_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+        episode = jnp.zeros((b,), jnp.int32)
+        phys = jax.vmap(lambda k, e: _reset_phys(self.params, k, e))(
+            env_keys, episode)
+        state = EnvState(phys=phys, steps=jnp.zeros((b,), jnp.int32),
+                         key=env_keys, episode=episode)
+        return state, self._initial_obs(phys)
+
+    def _initial_obs(self, phys: PhysState) -> jax.Array:
+        if self.obs_mode == "state":
+            return state_obs(self.params, phys)
+        # Reference reset assembles the first obs by repeating the initial
+        # pose across the repeat window.
+        frame = pose_frame(self.params, phys)
+        return stack_obs([frame] * self.params.action_repeats)
+
+    def step(self, state: EnvState, action):
+        """One env-step: R action-repeats x S physics substeps, pose
+        snapshot per repeat, termination, reward, masked auto-reset."""
+        p = self.params
+        force = _map_action(p, action)
+        phys = state.phys
+
+        frames = []
+        for r in range(p.action_repeats):
+            if p.push_prob_per_repeat > 0.0:
+                push = jax.vmap(
+                    lambda k, e, s: push_randomness(p, k, e, s, r)
+                )(state.key, state.episode, state.steps)
+            else:
+                push = jnp.zeros_like(force)
+            phys = run_substeps(p, phys, force, push, p.steps_per_repeat)
+            if self.obs_mode == "pose_stack":
+                frames.append(pose_frame(p, phys))
+
+        steps = state.steps + 1
+        tilted, oob, too_long = _termination(p, phys, steps)
+        done_physical = tilted | oob
+        done = done_physical | too_long
+        reward = _reward(p, phys, done_physical)
+
+        if self.obs_mode == "state":
+            terminal_obs = state_obs(p, phys)
+        else:
+            terminal_obs = stack_obs(frames)
+
+        info = {
+            "terminal_obs": terminal_obs,
+            "tilted": tilted,
+            "out_of_bounds": oob,
+            "truncated": too_long & ~done_physical,
+            "steps": steps,
+        }
+
+        if self.auto_reset:
+            episode = state.episode + done.astype(jnp.int32)
+            fresh = jax.vmap(lambda k, e: _reset_phys(p, k, e))(
+                state.key, episode)
+            sel = lambda a, b: jnp.where(
+                done.reshape(done.shape + (1,) * (a.ndim - 1)), a, b)
+            phys = jax.tree.map(sel, fresh, phys)
+            steps = jnp.where(done, 0, steps)
+            new_state = EnvState(phys=phys, steps=steps, key=state.key,
+                                 episode=episode)
+            # The obs used to pick the NEXT action: post-reset for done envs.
+            if self.obs_mode == "state":
+                obs = state_obs(p, phys)
+            else:
+                reset_obs = self._initial_obs(phys)
+                obs = jnp.where(done[:, None], reset_obs, terminal_obs)
+        else:
+            new_state = state._replace(phys=phys, steps=steps)
+            obs = terminal_obs
+
+        return new_state, obs, reward, done, info
+
+    # --- rollout -------------------------------------------------------------
+    def rollout(self, state: EnvState, policy_fn, length: int,
+                policy_key=None):
+        """Device-resident rollout: `length` env-steps under lax.scan.
+
+        policy_fn(obs, key) -> action. Returns final state and stacked
+        (obs, action, reward, done) trajectories, time-major.
+        Reference counterpart: the Python `while not done: env.step(...)`
+        agent loop — here the whole rollout is one XLA program.
+        """
+        p = self.params
+        if policy_key is None:
+            policy_key = jax.random.PRNGKey(0)
+        obs0 = self._initial_obs(state.phys)
+
+        def body(carry, _):
+            st, obs, k = carry
+            k, ka = jax.random.split(k)
+            action = policy_fn(obs, ka)
+            st, next_obs, reward, done, _ = self.step(st, action)
+            return (st, next_obs, k), (obs, action, reward, done)
+
+        (state, _, _), traj = jax.lax.scan(
+            body, (state, obs0, policy_key), None, length=length)
+        return state, traj
+
+
+def make_step_fn(env: CartPole3D):
+    """A jitted step with donated state (no per-step reallocation)."""
+    return jax.jit(env.step, donate_argnums=(0,))
