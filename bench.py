@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Headline benchmark: env-steps/s per chip at 4096 envs (BASELINE.json:5).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the driver-set 10M env-steps/s/chip north star
+(the reference publishes no numbers — BASELINE.json:13).
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
+    num_steps = int(os.environ.get("BENCH_NUM_STEPS", "512"))
+
+    from cartpoleplusplus_tpu import CartPole3D, CartPoleParams
+    from cartpoleplusplus_tpu.bench import measure_env_steps_per_sec
+    from cartpoleplusplus_tpu.ops import best_rollout
+
+    env = CartPole3D(CartPoleParams(), num_envs=num_envs)
+    rollout, impl = best_rollout(env, num_steps)
+    stats = measure_env_steps_per_sec(env, num_steps=num_steps,
+                                      rollout=rollout)
+    stats["impl"] = impl
+
+    target = 10_000_000.0
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip_4096envs",
+        "value": round(stats["env_steps_per_sec"], 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(stats["env_steps_per_sec"] / target, 4),
+    }))
+    print(json.dumps(stats), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

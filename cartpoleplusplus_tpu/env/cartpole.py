@@ -29,6 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..physics import (
     CartPoleParams,
     PhysState,
@@ -37,6 +39,7 @@ from ..physics import (
     rest_state,
     run_substeps,
 )
+from ..utils.prng import hash_words, uniform
 from .obs import (
     OBS_MODES,
     obs_size,
@@ -44,6 +47,13 @@ from .obs import (
     stack_obs,
     state_obs,
 )
+
+# Stream-separation tags for the counter-based PRNG (utils/prng.py).
+_TAG_RESET_ANGLE = 0x11
+_TAG_RESET_MAG = 0x12
+_TAG_PUSH_GATE = 0x21
+_TAG_PUSH_ANGLE = 0x22
+_TAG_PUSH_MAG = 0x23
 
 # Discrete action -> force direction table (noop, +x, -x, +y, -y).
 # Reference: the 5-way discrete action space of `bullet_cartpole.py`.
@@ -58,45 +68,53 @@ class EnvState(NamedTuple):
 
     phys: PhysState       # physical coordinates
     steps: jax.Array      # (B,) int32 — steps elapsed in current episode
-    key: jax.Array        # (B, 2) uint32 — per-env PRNG key (fixed per episode-stream)
+    env_seed: jax.Array   # (B,) uint32 — per-env PRNG seed (from global index)
     episode: jax.Array    # (B,) int32 — episode counter (salts per-episode RNG)
 
 
-def _uniform_from_key(key, minval, maxval, shape=()):
-    return jax.random.uniform(key, shape, minval=minval, maxval=maxval)
+def to_seed(key) -> jnp.uint32:
+    """Normalize an int seed or a jax PRNG key to a uint32 seed."""
+    if isinstance(key, (int, np.integer)):
+        return jnp.uint32(key & 0xFFFFFFFF)
+    if hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    flat = jnp.asarray(key).astype(jnp.uint32).reshape(-1)
+    return jax.lax.reduce(flat, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
 
 
-def reset_randomness(p: CartPoleParams, env_key, episode):
-    """Initial push impulse for one env: direction uniform on the circle,
-    magnitude uniform in [0.2, 1] * initial_push_force. Pure function of
-    (per-env key, episode index) — sharding-independent."""
-    k = jax.random.fold_in(jax.random.fold_in(env_key, episode), 0x5E5E7)
-    ka, km = jax.random.split(k)
-    ang = _uniform_from_key(ka, 0.0, 2.0 * jnp.pi)
-    mag = _uniform_from_key(km, 0.2, 1.0) * p.initial_push_force
-    return jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)])
+def derive_env_seeds(key, num_envs: int) -> jax.Array:
+    """Per-env seeds from (global seed, global env index) — independent of
+    batch slot or sharding layout (SURVEY.md §7 hard part 5)."""
+    return hash_words(to_seed(key), jnp.arange(num_envs, dtype=jnp.uint32))
 
 
-def push_randomness(p: CartPoleParams, env_key, episode, step, repeat):
-    """Mid-episode push force for one (env, step, repeat): zero with prob
+def reset_randomness(p: CartPoleParams, env_seed, episode):
+    """Initial push impulse: direction uniform on the circle, magnitude
+    uniform in [0.2, 1] * initial_push_force. Elementwise over any batch
+    shape; pure function of (env_seed, episode)."""
+    ang = uniform(0.0, 2.0 * jnp.pi, env_seed, episode, _TAG_RESET_ANGLE)
+    mag = uniform(0.2, 1.0, env_seed, episode, _TAG_RESET_MAG) * p.initial_push_force
+    return jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)], axis=-1)
+
+
+def push_randomness(p: CartPoleParams, env_seed, episode, step, repeat):
+    """Mid-episode push force for (env, step, repeat): zero with prob
     1 - push_prob_per_repeat, else uniform direction / magnitude."""
-    k = jax.random.fold_in(jax.random.fold_in(env_key, episode), step)
-    k = jax.random.fold_in(k, repeat + 1)
-    kp, ka, km = jax.random.split(k, 3)
-    gate = _uniform_from_key(kp, 0.0, 1.0) < p.push_prob_per_repeat
-    ang = _uniform_from_key(ka, 0.0, 2.0 * jnp.pi)
-    mag = _uniform_from_key(km, 0.0, 1.0) * p.push_force
-    return jnp.where(gate, 1.0, 0.0) * jnp.stack(
-        [mag * jnp.cos(ang), mag * jnp.sin(ang)])
+    gate = uniform(0.0, 1.0, env_seed, episode, step, repeat, _TAG_PUSH_GATE)
+    ang = uniform(0.0, 2.0 * jnp.pi, env_seed, episode, step, repeat, _TAG_PUSH_ANGLE)
+    mag = uniform(0.0, 1.0, env_seed, episode, step, repeat, _TAG_PUSH_MAG) * p.push_force
+    on = jnp.where(gate < p.push_prob_per_repeat, 1.0, 0.0)
+    return on[..., None] * jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)],
+                                     axis=-1)
 
 
-def _reset_phys(p: CartPoleParams, env_key, episode) -> PhysState:
-    """Fresh episode state for one env: upright rest pose + random push
-    impulse (the reference applies a random force over the first substeps;
-    the impulse through the mass matrix is the equivalent momentum
-    transfer — physics/dynamics.py:apply_push_impulse)."""
-    st = rest_state(p)
-    push = reset_randomness(p, env_key, episode)
+def _reset_phys(p: CartPoleParams, env_seed, episode) -> PhysState:
+    """Fresh episode state (any batch shape): upright rest pose + random
+    push impulse (the reference applies a random force over the first
+    substeps; the impulse through the mass matrix is the equivalent
+    momentum transfer — physics/dynamics.py:apply_push_impulse)."""
+    st = rest_state(p, batch_shape=jnp.shape(env_seed))
+    push = reset_randomness(p, env_seed, episode)
     return apply_push_impulse(p, st, push, p.initial_push_duration)
 
 
@@ -166,15 +184,14 @@ class CartPole3D:
 
     # --- episode API ---------------------------------------------------------
     def reset(self, key) -> tuple[EnvState, jax.Array]:
-        """Fresh state for all envs. Per-env keys are derived from the
+        """Fresh state for all envs. Per-env seeds are derived from the
         global env index so results are sharding-layout independent."""
         b = self.num_envs
-        env_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(b))
+        env_seed = derive_env_seeds(key, b)
         episode = jnp.zeros((b,), jnp.int32)
-        phys = jax.vmap(lambda k, e: _reset_phys(self.params, k, e))(
-            env_keys, episode)
+        phys = _reset_phys(self.params, env_seed, episode)
         state = EnvState(phys=phys, steps=jnp.zeros((b,), jnp.int32),
-                         key=env_keys, episode=episode)
+                         env_seed=env_seed, episode=episode)
         return state, self._initial_obs(phys)
 
     def _initial_obs(self, phys: PhysState) -> jax.Array:
@@ -195,9 +212,8 @@ class CartPole3D:
         frames = []
         for r in range(p.action_repeats):
             if p.push_prob_per_repeat > 0.0:
-                push = jax.vmap(
-                    lambda k, e, s: push_randomness(p, k, e, s, r)
-                )(state.key, state.episode, state.steps)
+                push = push_randomness(p, state.env_seed, state.episode,
+                                       state.steps, r)
             else:
                 push = jnp.zeros_like(force)
             phys = run_substeps(p, phys, force, push, p.steps_per_repeat)
@@ -225,14 +241,13 @@ class CartPole3D:
 
         if self.auto_reset:
             episode = state.episode + done.astype(jnp.int32)
-            fresh = jax.vmap(lambda k, e: _reset_phys(p, k, e))(
-                state.key, episode)
+            fresh = _reset_phys(p, state.env_seed, episode)
             sel = lambda a, b: jnp.where(
                 done.reshape(done.shape + (1,) * (a.ndim - 1)), a, b)
             phys = jax.tree.map(sel, fresh, phys)
             steps = jnp.where(done, 0, steps)
-            new_state = EnvState(phys=phys, steps=steps, key=state.key,
-                                 episode=episode)
+            new_state = EnvState(phys=phys, steps=steps,
+                                 env_seed=state.env_seed, episode=episode)
             # The obs used to pick the NEXT action: post-reset for done envs.
             if self.obs_mode == "state":
                 obs = state_obs(p, phys)

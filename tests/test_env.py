@@ -8,16 +8,13 @@ import numpy as np
 import pytest
 
 from cartpoleplusplus_tpu import CartPole3D, CartPoleParams, continuous_params
-from cartpoleplusplus_tpu.env import push_randomness, reset_randomness
+from cartpoleplusplus_tpu.env import (derive_env_seeds, push_randomness,
+                                      reset_randomness)
 from cartpoleplusplus_tpu.utils import pole_quaternion, tilt_angle_from_quat
 
 from oracle import OracleCartPole3D
 
 P = CartPoleParams()
-
-
-def env_keys(key, n):
-    return jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
 
 
 # ---------------------------------------------------------------- parity ----
@@ -34,16 +31,16 @@ def test_fixed_seed_parity_with_oracle(params, name):
     step = jax.jit(env.step)
 
     # Reproduce the env's per-env randomness for the oracle.
-    ekeys = env_keys(key, b)
+    eseeds = derive_env_seeds(key, b)
     oracles = []
     for i in range(b):
-        imp = np.asarray(reset_randomness(params, ekeys[i], jnp.int32(0)))
+        imp = np.asarray(reset_randomness(params, eseeds[i], jnp.int32(0)))
         pushes = {}
         if params.push_prob_per_repeat > 0:
             for s in range(t):
                 for r in range(params.action_repeats):
                     pv = np.asarray(push_randomness(
-                        params, ekeys[i], jnp.int32(0), jnp.int32(s), r))
+                        params, eseeds[i], jnp.int32(0), jnp.int32(s), r))
                     if np.any(pv != 0):
                         pushes[(s, r)] = (float(pv[0]), float(pv[1]))
         o = OracleCartPole3D(params, imp, pushes)
