@@ -16,9 +16,22 @@ from .physics import CartPoleParams, continuous_params
 __all__ = [
     "physics",
     "env",
+    "agents",
+    "models",
+    "dist",
     "CartPole3D",
     "EnvState",
     "CartPoleParams",
     "continuous_params",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # Lazy subpackage imports: `import cartpoleplusplus_tpu` stays light
+    # (flax/optax only load when the agents/models/dist layers are used).
+    if name in ("agents", "models", "dist"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,218 @@
+"""DDPG actor-learner — the framework's flagship agent.
+
+Reference counterpart: `ddpg_cartpole.py` in rebcabin/cartpoleplusplus
+(`ActorNetwork`, `CriticNetwork`, per-step TF session calls, host replay,
+Polyak target updates, exploration noise — SURVEY.md §2a/§3.3; BASELINE
+config 5 is "8192 envs sharded over 2+ hosts feeding an on-device
+DDPG-style actor-learner via collectives", /root/repo/BASELINE.json:11;
+reference mount empty this session).
+
+TPU-native redesign (NOT a port of the TF-1.x graph):
+  * The reference interleaves, per single env-step, 4 Python<->TF-C++
+    session calls and ~15 Python<->Bullet calls, fully serially (SURVEY.md
+    §3.3). Here ONE jitted `train_step` runs `rollout_steps` env-steps
+    under `lax.scan` over the whole sharded env batch (actor forward fused
+    into the scan body), inserts the chunk into the device-resident replay,
+    then runs `updates_per_step` critic+actor+Polyak updates — zero host
+    involvement.
+  * Exploration: Ornstein-Uhlenbeck noise carried per env in the scan
+    (matching the reference's OU process) or white Gaussian
+    (`ou_theta=1, ou_sigma=sigma` degenerates appropriately).
+  * Targets are pytree copies updated by `models.polyak`.
+  * Under `dist.make_mesh` the env/replay batch axis is sharded on 'data';
+    the learner's minibatch gradients reduce across chips via the psum XLA
+    inserts for the replicated-param/sharded-batch layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env import CartPole3D
+from ..models import ActorMLP, CriticMLP, polyak
+from .replay import ReplayBuffer, ReplayState
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPGConfig:
+    hidden: tuple = (256, 256)
+    actor_lr: float = 1e-4
+    critic_lr: float = 1e-3
+    gamma: float = 0.99
+    tau: float = 0.005               # Polyak rate
+    batch_size: int = 256            # learner minibatch
+    rollout_steps: int = 8           # env-steps per train_step
+    updates_per_step: int = 8        # gradient updates per train_step
+    replay_capacity_per_env: int = 1024
+    ou_theta: float = 0.15           # OU mean-reversion
+    ou_sigma: float = 0.2            # OU noise scale
+    warmup_env_steps: int = 16       # slots to fill before learning starts
+    dtype: str = "float32"           # network compute dtype ("bfloat16" on TPU)
+
+
+class DDPGState(NamedTuple):
+    actor: dict
+    critic: dict
+    actor_target: dict
+    critic_target: dict
+    actor_opt: tuple
+    critic_opt: tuple
+    replay: ReplayState
+    env_state: tuple          # EnvState
+    obs: jax.Array            # (B, obs_dim) current observation
+    noise: jax.Array          # (B, act_dim) OU noise state
+    rng: jax.Array            # PRNG key
+    env_steps: jax.Array      # () int32 — env-steps taken (per env)
+
+
+class DDPG:
+    """Pure-function DDPG agent over a batched CartPole3D."""
+
+    def __init__(self, env: CartPole3D, config: DDPGConfig = DDPGConfig()):
+        if env.params.discrete_actions:
+            raise ValueError("DDPG needs the continuous env "
+                             "(CartPoleParams(discrete_actions=False))")
+        self.env = env
+        self.cfg = config
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.actor_net = ActorMLP(action_dim=env.action_dim,
+                                  hidden=config.hidden, dtype=dtype)
+        self.critic_net = CriticMLP(hidden=config.hidden, dtype=dtype)
+        self.replay = ReplayBuffer(
+            num_envs=env.num_envs,
+            capacity_per_env=config.replay_capacity_per_env,
+            obs_dim=env.obs_size,
+            action_dim=env.action_dim,
+            discrete=False)
+        self.actor_tx = optax.adam(config.actor_lr)
+        self.critic_tx = optax.adam(config.critic_lr)
+
+    # --- init ---------------------------------------------------------------
+    def init(self, key) -> DDPGState:
+        k_actor, k_critic, k_env, k_run = jax.random.split(
+            jax.random.PRNGKey(key) if isinstance(key, int) else key, 4)
+        obs0 = jnp.zeros((1, self.env.obs_size), jnp.float32)
+        act0 = jnp.zeros((1, self.env.action_dim), jnp.float32)
+        actor = self.actor_net.init(k_actor, obs0)
+        critic = self.critic_net.init(k_critic, obs0, act0)
+        env_state, obs = self.env.reset(k_env)
+        return DDPGState(
+            actor=actor,
+            critic=critic,
+            actor_target=jax.tree.map(jnp.copy, actor),
+            critic_target=jax.tree.map(jnp.copy, critic),
+            actor_opt=self.actor_tx.init(actor),
+            critic_opt=self.critic_tx.init(critic),
+            replay=self.replay.init(),
+            env_state=env_state,
+            obs=obs,
+            noise=jnp.zeros((self.env.num_envs, self.env.action_dim),
+                            jnp.float32),
+            rng=k_run,
+            env_steps=jnp.int32(0),
+        )
+
+    # --- acting -------------------------------------------------------------
+    def act(self, actor_params, obs, noise=None):
+        """Deterministic action, plus OU exploration noise if given."""
+        a = self.actor_net.apply(actor_params, obs)
+        if noise is not None:
+            a = jnp.clip(a + noise, -1.0, 1.0)
+        return a
+
+    def _ou_step(self, noise, key):
+        c = self.cfg
+        eps = jax.random.normal(key, noise.shape, jnp.float32)
+        return noise + c.ou_theta * (0.0 - noise) + c.ou_sigma * eps
+
+    # --- learning -----------------------------------------------------------
+    def _critic_loss(self, critic, actor_target, critic_target, batch):
+        obs, action, reward, next_obs, done = batch
+        c = self.cfg
+        a_next = self.actor_net.apply(actor_target, next_obs)
+        q_next = self.critic_net.apply(critic_target, next_obs, a_next)
+        y = reward + c.gamma * (1.0 - done.astype(jnp.float32)) * q_next
+        q = self.critic_net.apply(critic, obs, action)
+        return jnp.mean(jnp.square(q - jax.lax.stop_gradient(y)))
+
+    def _actor_loss(self, actor, critic, obs):
+        a = self.actor_net.apply(actor, obs)
+        return -jnp.mean(self.critic_net.apply(critic, obs, a))
+
+    def _update_once(self, st: DDPGState, key) -> tuple[DDPGState, dict]:
+        c = self.cfg
+        batch = self.replay.sample(st.replay, key, c.batch_size)
+        closs, cgrad = jax.value_and_grad(self._critic_loss)(
+            st.critic, st.actor_target, st.critic_target, batch)
+        cupd, copt = self.critic_tx.update(cgrad, st.critic_opt, st.critic)
+        critic = optax.apply_updates(st.critic, cupd)
+
+        aloss, agrad = jax.value_and_grad(self._actor_loss)(
+            st.actor, critic, batch[0])
+        aupd, aopt = self.actor_tx.update(agrad, st.actor_opt, st.actor)
+        actor = optax.apply_updates(st.actor, aupd)
+
+        st = st._replace(
+            actor=actor, critic=critic,
+            actor_opt=aopt, critic_opt=copt,
+            actor_target=polyak(st.actor_target, actor, c.tau),
+            critic_target=polyak(st.critic_target, critic, c.tau))
+        return st, {"critic_loss": closs, "actor_loss": aloss}
+
+    # --- the fused actor-learner step ---------------------------------------
+    def train_step(self, st: DDPGState) -> tuple[DDPGState, dict]:
+        """rollout_steps env-steps + replay insert + updates_per_step
+        gradient updates, as one jit-able program."""
+        c = self.cfg
+        rng, k_roll = jax.random.split(st.rng)
+
+        def env_body(carry, key):
+            env_state, obs, noise = carry
+            noise = self._ou_step(noise, key)
+            action = self.act(st.actor, obs, noise)
+            env_state, next_obs, reward, done, _ = self.env.step(
+                env_state, action)
+            # Reset the OU state of envs that finished (fresh episode).
+            noise = jnp.where(done[:, None], 0.0, noise)
+            return ((env_state, next_obs, noise),
+                    (obs, action, reward, done))
+
+        (env_state, obs, noise), traj = jax.lax.scan(
+            env_body, (st.env_state, st.obs, st.noise),
+            jax.random.split(k_roll, c.rollout_steps))
+        replay = self.replay.add_trajectory(st.replay, *traj)
+        env_steps = st.env_steps + c.rollout_steps
+        st = st._replace(replay=replay, env_state=env_state, obs=obs,
+                         noise=noise, rng=rng, env_steps=env_steps)
+
+        def upd_body(carry, key):
+            return self._update_once(carry, key)
+
+        def do_updates(s):
+            rng, k_upd = jax.random.split(s.rng)
+            s, metrics = jax.lax.scan(
+                upd_body, s._replace(rng=rng),
+                jax.random.split(k_upd, c.updates_per_step))
+            return s, jax.tree.map(jnp.mean, metrics)
+
+        def skip_updates(s):
+            return s, {"critic_loss": jnp.float32(0.0),
+                       "actor_loss": jnp.float32(0.0)}
+
+        st, losses = jax.lax.cond(
+            env_steps >= c.warmup_env_steps, do_updates, skip_updates, st)
+
+        metrics = dict(losses)
+        metrics["reward_mean"] = jnp.mean(traj[2])
+        metrics["done_frac"] = jnp.mean(traj[3].astype(jnp.float32))
+        metrics["env_steps"] = env_steps
+        return st, metrics
+
+    def make_train_step(self):
+        """Jitted train_step with donated state."""
+        return jax.jit(self.train_step, donate_argnums=(0,))

@@ -1,0 +1,161 @@
+"""DQN on the discrete 5-action env.
+
+Reference counterpart: `dqn_cartpole.py` — a keras-rl `DQNAgent` fit on the
+discrete env (SURVEY.md §2a/§3.4; BASELINE discrete configs
+/root/repo/BASELINE.json:7-8; reference mount empty this session).
+
+TPU-native redesign: same fused actor-learner shape as ddpg.py — one jitted
+`train_step` = epsilon-greedy rollout scan + replay insert + K TD(0)
+updates with a Polyak (soft) target network. keras-rl's Python callback
+loop is replaced by `lax.scan`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env import CartPole3D
+from ..models import QNetMLP, polyak
+from .replay import ReplayBuffer, ReplayState
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    hidden: tuple = (256, 256)
+    lr: float = 5e-4
+    gamma: float = 0.99
+    tau: float = 0.01
+    batch_size: int = 256
+    rollout_steps: int = 8
+    updates_per_step: int = 4
+    replay_capacity_per_env: int = 1024
+    eps_start: float = 1.0
+    eps_end: float = 0.05
+    eps_decay_env_steps: int = 5000   # linear decay horizon (per-env steps)
+    warmup_env_steps: int = 16
+    double_dqn: bool = True
+    dtype: str = "float32"
+
+
+class DQNState(NamedTuple):
+    q: dict
+    q_target: dict
+    opt: tuple
+    replay: ReplayState
+    env_state: tuple
+    obs: jax.Array
+    rng: jax.Array
+    env_steps: jax.Array
+
+
+class DQN:
+    def __init__(self, env: CartPole3D, config: DQNConfig = DQNConfig()):
+        if not env.params.discrete_actions:
+            raise ValueError("DQN needs the discrete env")
+        self.env = env
+        self.cfg = config
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.q_net = QNetMLP(num_actions=env.num_actions,
+                             hidden=config.hidden, dtype=dtype)
+        self.replay = ReplayBuffer(
+            num_envs=env.num_envs,
+            capacity_per_env=config.replay_capacity_per_env,
+            obs_dim=env.obs_size, discrete=True)
+        self.tx = optax.adam(config.lr)
+
+    def init(self, key) -> DQNState:
+        k_q, k_env, k_run = jax.random.split(
+            jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
+        obs0 = jnp.zeros((1, self.env.obs_size), jnp.float32)
+        q = self.q_net.init(k_q, obs0)
+        env_state, obs = self.env.reset(k_env)
+        return DQNState(
+            q=q, q_target=jax.tree.map(jnp.copy, q), opt=self.tx.init(q),
+            replay=self.replay.init(), env_state=env_state, obs=obs,
+            rng=k_run, env_steps=jnp.int32(0))
+
+    def epsilon(self, env_steps):
+        c = self.cfg
+        frac = jnp.clip(env_steps.astype(jnp.float32)
+                        / c.eps_decay_env_steps, 0.0, 1.0)
+        return c.eps_start + frac * (c.eps_end - c.eps_start)
+
+    def act(self, q_params, obs, key, eps):
+        """Epsilon-greedy batched action."""
+        qv = self.q_net.apply(q_params, obs)
+        greedy = jnp.argmax(qv, axis=-1).astype(jnp.int32)
+        k_g, k_a = jax.random.split(key)
+        rand = jax.random.randint(k_a, greedy.shape, 0, self.env.num_actions)
+        explore = jax.random.uniform(k_g, greedy.shape) < eps
+        return jnp.where(explore, rand, greedy)
+
+    def _loss(self, q, q_target, batch):
+        obs, action, reward, next_obs, done = batch
+        c = self.cfg
+        qn_t = self.q_net.apply(q_target, next_obs)
+        if c.double_dqn:
+            a_star = jnp.argmax(self.q_net.apply(q, next_obs), axis=-1)
+            q_next = jnp.take_along_axis(qn_t, a_star[:, None], 1)[:, 0]
+        else:
+            q_next = jnp.max(qn_t, axis=-1)
+        y = reward + c.gamma * (1.0 - done.astype(jnp.float32)) * q_next
+        qv = self.q_net.apply(q, obs)
+        q_sa = jnp.take_along_axis(qv, action[:, None], 1)[:, 0]
+        return jnp.mean(optax.huber_loss(q_sa, jax.lax.stop_gradient(y)))
+
+    def train_step(self, st: DQNState) -> tuple[DQNState, dict]:
+        c = self.cfg
+        rng, k_roll = jax.random.split(st.rng)
+        eps = self.epsilon(st.env_steps)
+
+        def env_body(carry, key):
+            env_state, obs = carry
+            action = self.act(st.q, obs, key, eps)
+            env_state, next_obs, reward, done, _ = self.env.step(
+                env_state, action)
+            return (env_state, next_obs), (obs, action, reward, done)
+
+        (env_state, obs), traj = jax.lax.scan(
+            env_body, (st.env_state, st.obs),
+            jax.random.split(k_roll, c.rollout_steps))
+        replay = self.replay.add_trajectory(st.replay, *traj)
+        env_steps = st.env_steps + c.rollout_steps
+        st = st._replace(replay=replay, env_state=env_state, obs=obs,
+                         rng=rng, env_steps=env_steps)
+
+        def upd_body(s, key):
+            batch = self.replay.sample(s.replay, key, c.batch_size)
+            loss, grad = jax.value_and_grad(self._loss)(
+                s.q, s.q_target, batch)
+            upd, opt = self.tx.update(grad, s.opt, s.q)
+            q = optax.apply_updates(s.q, upd)
+            s = s._replace(q=q, opt=opt,
+                           q_target=polyak(s.q_target, q, c.tau))
+            return s, loss
+
+        def do_updates(s):
+            rng, k_upd = jax.random.split(s.rng)
+            s, losses = jax.lax.scan(
+                upd_body, s._replace(rng=rng),
+                jax.random.split(k_upd, c.updates_per_step))
+            return s, jnp.mean(losses)
+
+        st, loss = jax.lax.cond(
+            env_steps >= c.warmup_env_steps, do_updates,
+            lambda s: (s, jnp.float32(0.0)), st)
+
+        return st, {
+            "loss": loss,
+            "epsilon": eps,
+            "reward_mean": jnp.mean(traj[2]),
+            "done_frac": jnp.mean(traj[3].astype(jnp.float32)),
+            "env_steps": env_steps,
+        }
+
+    def make_train_step(self):
+        return jax.jit(self.train_step, donate_argnums=(0,))

@@ -1,0 +1,136 @@
+"""Likelihood-ratio policy gradient (REINFORCE) on the discrete env.
+
+Reference counterpart: `lrpg_cartpole.py` — a TF softmax policy trained
+with the likelihood-ratio gradient over complete episodes (SURVEY.md §2a;
+reference mount empty this session).
+
+TPU-native redesign: on-policy batched rollouts under `lax.scan`; returns-
+to-go are computed with a reverse scan that zeroes across the masked
+auto-reset episode boundaries, so one fixed-length rollout window spans
+many (partial) episodes across the 4096-env batch — the batched equivalent
+of the reference's episode loop. A running-mean baseline reduces variance
+(the reference's vanilla estimator is the baseline=0 special case).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env import CartPole3D
+from ..models import PolicyMLP
+
+
+@dataclasses.dataclass(frozen=True)
+class LRPGConfig:
+    hidden: tuple = (64, 64)
+    lr: float = 1e-3
+    gamma: float = 0.99
+    rollout_steps: int = 32          # env-steps per update window
+    baseline_rate: float = 0.05      # EMA rate for the scalar return baseline
+    entropy_coef: float = 0.001
+    dtype: str = "float32"
+
+
+class LRPGState(NamedTuple):
+    params: dict
+    opt: tuple
+    baseline: jax.Array       # () float32 — EMA of returns
+    env_state: tuple
+    obs: jax.Array
+    rng: jax.Array
+    env_steps: jax.Array
+
+
+def returns_to_go(reward, done, gamma: float, bootstrap):
+    """Discounted returns over a time-major (T, B) window; the recursion
+    stops at done flags (masked auto-reset boundaries)."""
+
+    def body(carry, tr):
+        r, d = tr
+        g = r + gamma * carry * (1.0 - d.astype(jnp.float32))
+        return g, g
+
+    _, g = jax.lax.scan(body, bootstrap, (reward, done), reverse=True)
+    return g
+
+
+class LRPG:
+    def __init__(self, env: CartPole3D, config: LRPGConfig = LRPGConfig()):
+        if not env.params.discrete_actions:
+            raise ValueError("LRPG needs the discrete env")
+        self.env = env
+        self.cfg = config
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.net = PolicyMLP(num_actions=env.num_actions,
+                             hidden=config.hidden, dtype=dtype)
+        self.tx = optax.adam(config.lr)
+
+    def init(self, key) -> LRPGState:
+        k_net, k_env, k_run = jax.random.split(
+            jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
+        obs0 = jnp.zeros((1, self.env.obs_size), jnp.float32)
+        params = self.net.init(k_net, obs0)
+        env_state, obs = self.env.reset(k_env)
+        return LRPGState(params=params, opt=self.tx.init(params),
+                         baseline=jnp.float32(0.0), env_state=env_state,
+                         obs=obs, rng=k_run, env_steps=jnp.int32(0))
+
+    def act(self, params, obs, key):
+        logits = self.net.apply(params, obs)
+        return jax.random.categorical(key, logits).astype(jnp.int32)
+
+    def _loss(self, params, obs, action, advantage):
+        logits = self.net.apply(params, obs)
+        logp = jax.nn.log_softmax(logits)
+        lp_a = jnp.take_along_axis(logp, action[..., None], -1)[..., 0]
+        pg = -jnp.mean(lp_a * advantage)
+        entropy = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=-1))
+        return pg - self.cfg.entropy_coef * entropy
+
+    def train_step(self, st: LRPGState) -> tuple[LRPGState, dict]:
+        c = self.cfg
+        rng, k_roll = jax.random.split(st.rng)
+
+        def env_body(carry, key):
+            env_state, obs = carry
+            action = self.act(st.params, obs, key)
+            env_state, next_obs, reward, done, _ = self.env.step(
+                env_state, action)
+            return (env_state, next_obs), (obs, action, reward, done)
+
+        (env_state, obs), (obs_t, act_t, rew_t, done_t) = jax.lax.scan(
+            env_body, (st.env_state, st.obs),
+            jax.random.split(k_roll, c.rollout_steps))
+
+        # Bootstrap the cut-off tail with the baseline (bias-variance
+        # trade-off for the fixed window; exact at episode boundaries).
+        g = returns_to_go(rew_t, done_t, c.gamma,
+                          jnp.full((self.env.num_envs,), st.baseline))
+        baseline = ((1.0 - c.baseline_rate) * st.baseline
+                    + c.baseline_rate * jnp.mean(g))
+        adv = g - baseline
+        adv = adv / (jnp.std(adv) + 1e-6)
+
+        loss, grad = jax.value_and_grad(self._loss)(
+            st.params, obs_t, act_t, jax.lax.stop_gradient(adv))
+        upd, opt = self.tx.update(grad, st.opt, st.params)
+        params = optax.apply_updates(st.params, upd)
+
+        st = LRPGState(params=params, opt=opt, baseline=baseline,
+                       env_state=env_state, obs=obs, rng=rng,
+                       env_steps=st.env_steps + c.rollout_steps)
+        return st, {
+            "loss": loss,
+            "return_mean": jnp.mean(g),
+            "reward_mean": jnp.mean(rew_t),
+            "done_frac": jnp.mean(done_t.astype(jnp.float32)),
+            "env_steps": st.env_steps,
+        }
+
+    def make_train_step(self):
+        return jax.jit(self.train_step, donate_argnums=(0,))

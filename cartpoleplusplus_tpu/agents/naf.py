@@ -1,0 +1,143 @@
+"""NAF (Normalized Advantage Function) continuous-control agent.
+
+Reference counterpart: `naf_cartpole.py` — continuous Q-learning with a
+quadratic advantage head A(s,a) = -1/2 (a-mu)^T P(s) (a-mu), target network
+and replay (SURVEY.md §2a; reference mount empty this session).
+
+TPU-native redesign: same fused actor-learner shape as ddpg.py; the
+quadratic-advantage algebra lives in models/nets.py::NafNet. Exploration is
+Gaussian noise on mu (the reference used OU/Gaussian variants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env import CartPole3D
+from ..models import NafNet, polyak
+from .replay import ReplayBuffer, ReplayState
+
+
+@dataclasses.dataclass(frozen=True)
+class NAFConfig:
+    hidden: tuple = (256, 256)
+    lr: float = 5e-4
+    gamma: float = 0.99
+    tau: float = 0.005
+    batch_size: int = 256
+    rollout_steps: int = 8
+    updates_per_step: int = 4
+    replay_capacity_per_env: int = 1024
+    noise_sigma: float = 0.2
+    warmup_env_steps: int = 16
+    dtype: str = "float32"
+
+
+class NAFState(NamedTuple):
+    params: dict
+    target: dict
+    opt: tuple
+    replay: ReplayState
+    env_state: tuple
+    obs: jax.Array
+    rng: jax.Array
+    env_steps: jax.Array
+
+
+class NAF:
+    def __init__(self, env: CartPole3D, config: NAFConfig = NAFConfig()):
+        if env.params.discrete_actions:
+            raise ValueError("NAF needs the continuous env")
+        self.env = env
+        self.cfg = config
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        self.net = NafNet(action_dim=env.action_dim, hidden=config.hidden,
+                          dtype=dtype)
+        self.replay = ReplayBuffer(
+            num_envs=env.num_envs,
+            capacity_per_env=config.replay_capacity_per_env,
+            obs_dim=env.obs_size, action_dim=env.action_dim, discrete=False)
+        self.tx = optax.adam(config.lr)
+
+    def init(self, key) -> NAFState:
+        k_net, k_env, k_run = jax.random.split(
+            jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
+        obs0 = jnp.zeros((1, self.env.obs_size), jnp.float32)
+        act0 = jnp.zeros((1, self.env.action_dim), jnp.float32)
+        params = self.net.init(k_net, obs0, act0)
+        env_state, obs = self.env.reset(k_env)
+        return NAFState(
+            params=params, target=jax.tree.map(jnp.copy, params),
+            opt=self.tx.init(params), replay=self.replay.init(),
+            env_state=env_state, obs=obs, rng=k_run,
+            env_steps=jnp.int32(0))
+
+    def act(self, params, obs, key=None):
+        _, mu = self.net.apply(params, obs)
+        if key is None:
+            return mu
+        eps = jax.random.normal(key, mu.shape) * self.cfg.noise_sigma
+        return jnp.clip(mu + eps, -1.0, 1.0)
+
+    def _loss(self, params, target, batch):
+        obs, action, reward, next_obs, done = batch
+        c = self.cfg
+        v_next, _ = self.net.apply(target, next_obs)
+        y = reward + c.gamma * (1.0 - done.astype(jnp.float32)) * v_next
+        q, _, _ = self.net.apply(params, obs, action)
+        return jnp.mean(jnp.square(q - jax.lax.stop_gradient(y)))
+
+    def train_step(self, st: NAFState) -> tuple[NAFState, dict]:
+        c = self.cfg
+        rng, k_roll = jax.random.split(st.rng)
+
+        def env_body(carry, key):
+            env_state, obs = carry
+            action = self.act(st.params, obs, key)
+            env_state, next_obs, reward, done, _ = self.env.step(
+                env_state, action)
+            return (env_state, next_obs), (obs, action, reward, done)
+
+        (env_state, obs), traj = jax.lax.scan(
+            env_body, (st.env_state, st.obs),
+            jax.random.split(k_roll, c.rollout_steps))
+        replay = self.replay.add_trajectory(st.replay, *traj)
+        env_steps = st.env_steps + c.rollout_steps
+        st = st._replace(replay=replay, env_state=env_state, obs=obs,
+                         rng=rng, env_steps=env_steps)
+
+        def upd_body(s, key):
+            batch = self.replay.sample(s.replay, key, c.batch_size)
+            loss, grad = jax.value_and_grad(self._loss)(
+                s.params, s.target, batch)
+            upd, opt = self.tx.update(grad, s.opt, s.params)
+            params = optax.apply_updates(s.params, upd)
+            s = s._replace(params=params, opt=opt,
+                           target=polyak(s.target, params, c.tau))
+            return s, loss
+
+        def do_updates(s):
+            rng, k_upd = jax.random.split(s.rng)
+            s, losses = jax.lax.scan(
+                upd_body, s._replace(rng=rng),
+                jax.random.split(k_upd, c.updates_per_step))
+            return s, jnp.mean(losses)
+
+        st, loss = jax.lax.cond(
+            env_steps >= c.warmup_env_steps, do_updates,
+            lambda s: (s, jnp.float32(0.0)), st)
+
+        return st, {
+            "loss": loss,
+            "reward_mean": jnp.mean(traj[2]),
+            "done_frac": jnp.mean(traj[3].astype(jnp.float32)),
+            "env_steps": env_steps,
+        }
+
+    def make_train_step(self):
+        return jax.jit(self.train_step, donate_argnums=(0,))

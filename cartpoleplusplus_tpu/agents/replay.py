@@ -1,0 +1,123 @@
+"""Device-resident experience replay.
+
+Reference counterpart: `replay_memory.py::ReplayMemory.{add,batch}` — a
+host-side numpy ring buffer of (s, a, r, s', done) with uniform minibatch
+sampling, shared by the DQN/NAF/DDPG trainers (SURVEY.md §2a; reference
+mount empty this session).
+
+TPU-native redesign:
+  * The buffer is a pytree of device arrays laid out `(num_envs,
+    capacity_per_env, ...)` — the env axis is the SAME axis the environment
+    batch is sharded on, so under a `Mesh(('data',))` sharding each chip
+    inserts its own envs' transitions with zero cross-chip traffic, and
+    uniform sampling over (env, slot) pairs is uniform over the global
+    buffer by symmetry.
+  * `add` writes one batch-row per env-step via a single
+    `dynamic_update_slice_in_dim` at the ring cursor — no host round trip,
+    no scatter.
+  * Next-observations are not stored: the rollout stores obs[t] and
+    obs[t+1] is read from the following slot at sample time, halving HBM
+    footprint. A `valid` mask excludes the cursor slot (whose successor is
+    stale) and episode boundaries are handled with the stored `done` flag
+    (done transitions bootstrap with 0, so their stale successor obs is
+    multiplied by zero — the standard trick, exact for 1-step TD).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ReplayState(NamedTuple):
+    """Ring-buffer contents. Leading dims: (num_envs, capacity_per_env)."""
+
+    obs: jax.Array      # (B, C, obs_dim) float32
+    action: jax.Array   # (B, C) int32 or (B, C, act_dim) float32
+    reward: jax.Array   # (B, C) float32
+    done: jax.Array     # (B, C) bool — episode ended at this transition
+    cursor: jax.Array   # () int32 — next slot to write
+    filled: jax.Array   # () int32 — number of valid slots (<= capacity)
+
+
+class ReplayBuffer:
+    """Static configuration + pure add/sample functions."""
+
+    def __init__(self, num_envs: int, capacity_per_env: int, obs_dim: int,
+                 action_dim: int = 0, discrete: bool = True):
+        self.num_envs = num_envs
+        self.capacity = capacity_per_env
+        self.obs_dim = obs_dim
+        self.action_dim = action_dim
+        self.discrete = discrete
+
+    def init(self) -> ReplayState:
+        b, c = self.num_envs, self.capacity
+        if self.discrete:
+            action = jnp.zeros((b, c), jnp.int32)
+        else:
+            action = jnp.zeros((b, c, self.action_dim), jnp.float32)
+        return ReplayState(
+            obs=jnp.zeros((b, c, self.obs_dim), jnp.float32),
+            action=action,
+            reward=jnp.zeros((b, c), jnp.float32),
+            done=jnp.zeros((b, c), bool),
+            cursor=jnp.int32(0),
+            filled=jnp.int32(0),
+        )
+
+    def add(self, rs: ReplayState, obs, action, reward, done) -> ReplayState:
+        """Insert one transition per env at the ring cursor.
+
+        obs: (B, obs_dim); action: (B,) or (B, act_dim); reward/done: (B,).
+        """
+        i = rs.cursor
+
+        def put(buf, row):
+            row = row.astype(buf.dtype)[:, None]
+            return jax.lax.dynamic_update_slice_in_dim(buf, row, i, axis=1)
+
+        return ReplayState(
+            obs=put(rs.obs, obs),
+            action=put(rs.action, action),
+            reward=put(rs.reward, reward),
+            done=put(rs.done, done),
+            cursor=(i + 1) % self.capacity,
+            filled=jnp.minimum(rs.filled + 1, self.capacity),
+        )
+
+    def add_trajectory(self, rs: ReplayState, obs, action, reward,
+                       done) -> ReplayState:
+        """Insert a time-major rollout chunk: obs (T, B, obs_dim) etc."""
+
+        def body(carry, tr):
+            return self.add(carry, *tr), None
+
+        rs, _ = jax.lax.scan(body, rs, (obs, action, reward, done))
+        return rs
+
+    def sample(self, rs: ReplayState, key, batch_size: int):
+        """Uniform minibatch of (obs, action, reward, next_obs, done).
+
+        Samples (env, slot) pairs uniformly over valid slots; next_obs is
+        the chronologically next slot (slot+1 mod capacity). The slot just
+        before the cursor is excluded because its successor has been
+        overwritten (or never written).
+        """
+        k_env, k_slot = jax.random.split(key)
+        env_idx = jax.random.randint(k_env, (batch_size,), 0, self.num_envs)
+        # Valid "has a successor" slots: the filled ones minus the newest.
+        n_valid = jnp.maximum(rs.filled - 1, 1)
+        # Newest slot is cursor-1; oldest is cursor-filled. Draw an age in
+        # [1, n_valid] behind the cursor so slot+1 is always also valid.
+        age = jax.random.randint(k_slot, (batch_size,), 1, n_valid + 1)
+        slot = (rs.cursor - 1 - age) % self.capacity
+        nxt = (slot + 1) % self.capacity
+        obs = rs.obs[env_idx, slot]
+        next_obs = rs.obs[env_idx, nxt]
+        action = rs.action[env_idx, slot]
+        reward = rs.reward[env_idx, slot]
+        done = rs.done[env_idx, slot]
+        return obs, action, reward, next_obs, done

@@ -1,0 +1,94 @@
+"""Distributed actor-learner execution + scaling measurement.
+
+The train step itself needs NO rewrite for multi-chip: every agent's
+`train_step` is a pure function, so distribution is purely a placement
+question. `shard_agent_state` lays out the initial state (env/replay/noise
+batch-sharded, params/opt replicated) and `jax.jit` compiles one SPMD
+program in which the SPMD partitioner inserts the learner's gradient psum
+and keeps all env stepping chip-local — the design BASELINE config 5 asks
+for (/root/repo/BASELINE.json:11).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch_tree,
+)
+
+# Agent-state fields whose leading axis is the (sharded) env batch.
+_BATCH_FIELDS = frozenset({"replay", "env_state", "obs", "noise"})
+
+
+def shard_agent_state(state, mesh):
+    """Place an agent TrainState on the mesh: batch fields sharded on
+    'data', parameters / optimizer / scalars replicated."""
+    rep = replicated_sharding(mesh)
+    out = {}
+    for name, value in state._asdict().items():
+        if name in _BATCH_FIELDS:
+            out[name] = shard_batch_tree(value, mesh)
+        else:
+            out[name] = jax.tree.map(
+                lambda x: jax.device_put(jax.numpy.asarray(x), rep), value)
+    return type(state)(**out)
+
+
+def make_distributed_train_step(agent, mesh):
+    """Jitted SPMD train_step. Use with a state from `shard_agent_state`;
+    output shardings are pinned so the state layout is stable across steps
+    (required for donation)."""
+
+    def step(state):
+        return agent.train_step(state)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def measure_rollout_rate(env, num_steps: int = 256, repeats: int = 3,
+                         mesh=None, seed: int = 0) -> float:
+    """env-steps/s of the pure rollout loop with state sharded on `mesh`
+    (default: all devices)."""
+    from ..bench.harness import build_rollout
+
+    mesh = mesh if mesh is not None else make_mesh()
+    run = build_rollout(env, num_steps)
+    state, _ = jax.jit(env.reset)(seed)
+    state = shard_batch_tree(state, mesh)
+    state, acc = run(state)
+    jax.block_until_ready(acc)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, acc = run(state)
+        jax.block_until_ready(acc)
+        best = min(best, time.perf_counter() - t0)
+    return env.num_envs * num_steps / best
+
+
+def scaling_report(make_env, num_steps: int = 256) -> dict:
+    """Throughput on 1 device vs all devices, with per-device env count
+    held constant (weak scaling — the config-5 shape: more hosts, more
+    envs). Returns rates and the scaling efficiency vs linear."""
+    devices = jax.devices()
+    n = len(devices)
+    env1 = make_env(num_envs_scale=1)
+    rate1 = measure_rollout_rate(env1, num_steps,
+                                 mesh=make_mesh(devices[:1]))
+    if n == 1:
+        return {"devices": 1, "rate_1dev": rate1, "rate_ndev": rate1,
+                "efficiency": 1.0}
+    envn = make_env(num_envs_scale=n)
+    raten = measure_rollout_rate(envn, num_steps, mesh=make_mesh(devices))
+    return {
+        "devices": n,
+        "rate_1dev": rate1,
+        "rate_ndev": raten,
+        "efficiency": raten / (n * rate1),
+    }

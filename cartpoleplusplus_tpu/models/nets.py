@@ -1,0 +1,173 @@
+"""Flax network definitions for every agent family.
+
+Reference counterparts (SURVEY.md §2a; mount empty this session):
+  * ActorMLP / CriticMLP  <- `ddpg_cartpole.py::{ActorNetwork, CriticNetwork}`
+    (TF graphs: MLPs for low-dim obs, conv stacks for pixels, batch-norm,
+    tanh-bounded actor output, critic takes action at a late layer).
+  * QNetMLP               <- the keras Q-network in `dqn_cartpole.py`.
+  * PolicyMLP             <- the softmax policy graph in `lrpg_cartpole.py`.
+  * NafNet                <- `naf_cartpole.py` (shared torso with value head
+    V, action head mu, and a lower-triangular L head forming the quadratic
+    advantage A(s,a) = -1/2 (a-mu)^T L L^T (a-mu)).
+  * PixelEncoder          <- the shared conv stack in `base_network.py`.
+
+TPU-first choices: parameters live in fp32, compute can run in bf16 (MXU
+native dtype) via the `dtype` attribute; LayerNorm instead of the
+reference's batch-norm (batch-norm cross-batch statistics create a
+collective dependency across sharded env batches for zero benefit at these
+scales; LayerNorm is per-row and sharding-oblivious).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def polyak(target_params, online_params, tau: float):
+    """theta' <- tau * theta + (1 - tau) * theta'.
+
+    Reference counterpart: the target-network variable-copy ops built in
+    `base_network.py` (TF assign graph). Here it is one tree_map.
+    """
+    return jax.tree.map(
+        lambda t, o: (1.0 - tau) * t + tau * o, target_params, online_params)
+
+
+class _Torso(nn.Module):
+    """Shared MLP torso: Dense -> LayerNorm -> relu, repeated."""
+
+    hidden: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        for h in self.hidden:
+            x = nn.Dense(h, dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class ActorMLP(nn.Module):
+    """Deterministic policy mu(s) in [-1, 1]^action_dim (DDPG actor)."""
+
+    action_dim: int = 2
+    hidden: Sequence[int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs):
+        x = _Torso(self.hidden, self.dtype)(obs)
+        # Small final init keeps initial actions near zero (standard DDPG).
+        a = nn.Dense(self.action_dim, dtype=self.dtype,
+                     kernel_init=nn.initializers.uniform(3e-3))(x)
+        return jnp.tanh(a).astype(jnp.float32)
+
+
+class CriticMLP(nn.Module):
+    """Q(s, a): action enters after the first layer (DDPG critic shape)."""
+
+    hidden: Sequence[int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs, action):
+        x = obs.astype(self.dtype)
+        x = nn.Dense(self.hidden[0], dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = jnp.concatenate([x, action.astype(self.dtype)], axis=-1)
+        for h in self.hidden[1:]:
+            x = nn.Dense(h, dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.relu(x)
+        q = nn.Dense(1, dtype=self.dtype,
+                     kernel_init=nn.initializers.uniform(3e-3))(x)
+        return q.squeeze(-1).astype(jnp.float32)
+
+
+class QNetMLP(nn.Module):
+    """Q(s, .) over the 5 discrete actions (DQN)."""
+
+    num_actions: int = 5
+    hidden: Sequence[int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs):
+        x = _Torso(self.hidden, self.dtype)(obs)
+        return nn.Dense(self.num_actions, dtype=self.dtype)(x).astype(
+            jnp.float32)
+
+
+class PolicyMLP(nn.Module):
+    """Softmax policy logits over discrete actions (LRPG / REINFORCE)."""
+
+    num_actions: int = 5
+    hidden: Sequence[int] = (64, 64)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs):
+        x = _Torso(self.hidden, self.dtype)(obs)
+        return nn.Dense(self.num_actions, dtype=self.dtype)(x).astype(
+            jnp.float32)
+
+
+class NafNet(nn.Module):
+    """Normalized Advantage Function: Q(s,a) = V(s) + A(s,a) with
+    A = -1/2 (a-mu)^T P(s) (a-mu), P = L L^T, L lower-triangular with
+    softplus diagonal. Returns (q, mu, v)."""
+
+    action_dim: int = 2
+    hidden: Sequence[int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs, action=None):
+        x = _Torso(self.hidden, self.dtype)(obs)
+        v = nn.Dense(1, dtype=self.dtype)(x).squeeze(-1).astype(jnp.float32)
+        mu = jnp.tanh(nn.Dense(self.action_dim, dtype=self.dtype,
+                               kernel_init=nn.initializers.uniform(3e-3))(x)
+                      ).astype(jnp.float32)
+        if action is None:
+            return v, mu
+        d = self.action_dim
+        n_l = d * (d + 1) // 2
+        l_flat = nn.Dense(n_l, dtype=self.dtype)(x).astype(jnp.float32)
+        rows, cols = jnp.tril_indices(d)
+        l_mat = jnp.zeros(x.shape[:-1] + (d, d), jnp.float32)
+        l_mat = l_mat.at[..., rows, cols].set(l_flat)
+        diag = jax.nn.softplus(l_mat[..., jnp.arange(d), jnp.arange(d)])
+        l_mat = l_mat.at[..., jnp.arange(d), jnp.arange(d)].set(diag)
+        p_mat = l_mat @ jnp.swapaxes(l_mat, -1, -2)
+        da = (action - mu)[..., None]
+        adv = -0.5 * (jnp.swapaxes(da, -1, -2) @ p_mat @ da)[..., 0, 0]
+        return v + adv, mu, v
+
+
+class PixelEncoder(nn.Module):
+    """Small conv stack for pixel observations -> flat features.
+
+    Reference counterpart: the conv layers in `base_network.py` applied to
+    stacked rendered camera frames. Input: (..., H, W, C) float in [0, 1]
+    (C = 3 * cameras * repeats after stacking).
+    """
+
+    features: Sequence[int] = (16, 32, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        x = img.astype(self.dtype)
+        for f in self.features:
+            x = nn.Conv(f, kernel_size=(3, 3), strides=(2, 2),
+                        dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(x.shape[:-3] + (-1,))
+        return x.astype(jnp.float32)
