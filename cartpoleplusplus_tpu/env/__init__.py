@@ -8,8 +8,12 @@ from .cartpole import (
     to_seed,
 )
 from .obs import FRAME_SIZE, OBS_MODES, obs_size, pole_com, pose_frame, state_obs
+from .pixels import CameraConfig, RenderConfig, render_all_cameras
 
 __all__ = [
+    "CameraConfig",
+    "RenderConfig",
+    "render_all_cameras",
     "CartPole3D",
     "EnvState",
     "make_step_fn",

@@ -47,6 +47,7 @@ from .obs import (
     stack_obs,
     state_obs,
 )
+from .pixels import RenderConfig, pixel_obs_shape, render_all_cameras
 
 # Stream-separation tags for the counter-based PRNG (utils/prng.py).
 _TAG_RESET_ANGLE = 0x11
@@ -159,13 +160,16 @@ class CartPole3D:
 
     def __init__(self, params: CartPoleParams = CartPoleParams(),
                  num_envs: int = 1, obs_mode: str = "pose_stack",
-                 auto_reset: bool = True):
+                 auto_reset: bool = True,
+                 render_config: RenderConfig | None = None):
         if obs_mode not in OBS_MODES:
             raise ValueError(f"obs_mode must be one of {OBS_MODES}")
         self.params = params
         self.num_envs = num_envs
         self.obs_mode = obs_mode
         self.auto_reset = auto_reset
+        self.render_config = (render_config if render_config is not None
+                              else RenderConfig())
 
     # --- spaces ------------------------------------------------------------
     @property
@@ -180,7 +184,26 @@ class CartPole3D:
 
     @property
     def obs_size(self) -> int:
+        """Flat observation length (pixels: product of obs_shape)."""
+        if self.obs_mode == "pixels":
+            h, w, c = self.obs_shape
+            return h * w * c
         return obs_size(self.params, self.obs_mode)
+
+    @property
+    def obs_shape(self) -> tuple:
+        """Per-env observation shape: (obs_size,) or (H, W, C) for pixels
+        (repeat-window frames and cameras stacked on channels, mirroring
+        the reference's frame stacking in lieu of velocities)."""
+        if self.obs_mode == "pixels":
+            return pixel_obs_shape(self.params, self.render_config)
+        return (obs_size(self.params, self.obs_mode),)
+
+    def render(self, phys: PhysState) -> jax.Array:
+        """All-camera view of the current physical state:
+        (B, H, W, 3 * num_cameras) float32 in [0, 1]. The TPU-native
+        counterpart of pybullet.getCameraImage (env/pixels.py)."""
+        return render_all_cameras(self.params, phys, self.render_config)
 
     # --- episode API ---------------------------------------------------------
     def reset(self, key) -> tuple[EnvState, jax.Array]:
@@ -198,8 +221,11 @@ class CartPole3D:
         if self.obs_mode == "state":
             return state_obs(self.params, phys)
         # Reference reset assembles the first obs by repeating the initial
-        # pose across the repeat window.
-        frame = pose_frame(self.params, phys)
+        # pose (or frame) across the repeat window.
+        if self.obs_mode == "pixels":
+            frame = self.render(phys)
+        else:
+            frame = pose_frame(self.params, phys)
         return stack_obs([frame] * self.params.action_repeats)
 
     def step(self, state: EnvState, action):
@@ -219,6 +245,8 @@ class CartPole3D:
             phys = run_substeps(p, phys, force, push, p.steps_per_repeat)
             if self.obs_mode == "pose_stack":
                 frames.append(pose_frame(p, phys))
+            elif self.obs_mode == "pixels":
+                frames.append(self.render(phys))
 
         steps = state.steps + 1
         tilted, oob, too_long = _termination(p, phys, steps)
@@ -253,7 +281,9 @@ class CartPole3D:
                 obs = state_obs(p, phys)
             else:
                 reset_obs = self._initial_obs(phys)
-                obs = jnp.where(done[:, None], reset_obs, terminal_obs)
+                done_b = done.reshape(
+                    done.shape + (1,) * (reset_obs.ndim - done.ndim))
+                obs = jnp.where(done_b, reset_obs, terminal_obs)
         else:
             new_state = state._replace(phys=phys, steps=steps)
             obs = terminal_obs

@@ -1,0 +1,128 @@
+"""Event-log subsystem tests: round-trip, native/python byte parity,
+corruption detection, episode splitting, and integration with a real
+env rollout (trace-replay parity — SURVEY.md §5 observability row)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cartpoleplusplus_tpu import CartPole3D, CartPoleParams
+from cartpoleplusplus_tpu.env.obs import state_obs
+from cartpoleplusplus_tpu.eventlog import (
+    EpisodeSink,
+    EventLogWriter,
+    read_records,
+    validate,
+)
+from cartpoleplusplus_tpu.eventlog._native.build import load as load_native
+
+
+def _write_sample(path, use_native):
+    w = EventLogWriter(str(path), metadata={"env": "cartpole3d", "n": 4},
+                       use_native=use_native)
+    rng = np.random.RandomState(0)
+    for ep in range(3):
+        t = 5 + ep
+        w.write_chunk(ep, env_id=ep % 2,
+                      state=rng.randn(t, 10).astype(np.float32),
+                      action=rng.randn(t, 2).astype(np.float32),
+                      reward=np.ones(t, np.float32),
+                      done=np.arange(t) == t - 1)
+    w.close()
+
+
+def test_roundtrip_python(tmp_path):
+    p = tmp_path / "log.cpe"
+    _write_sample(p, use_native=False)
+    recs = list(read_records(str(p)))
+    assert recs[0][0] == "metadata"
+    assert recs[0][1]["env"] == "cartpole3d"
+    chunks = [r for k, r in recs if k == "chunk"]
+    assert len(chunks) == 3
+    assert chunks[2]["state"].shape == (7, 10)
+    assert chunks[2]["done"][-1]
+    assert validate(str(p)) == 4
+
+
+def test_native_available_and_byte_identical(tmp_path):
+    """The C++ engine must be buildable here and produce the exact same
+    bytes as the Python writer (format.md is the single contract)."""
+    assert load_native() is not None, "native event-log engine failed to build"
+    p_nat, p_py = tmp_path / "nat.cpe", tmp_path / "py.cpe"
+    _write_sample(p_nat, use_native=True)
+    _write_sample(p_py, use_native=False)
+    assert p_nat.read_bytes() == p_py.read_bytes()
+    assert EventLogWriter(str(tmp_path / "x.cpe")).backend == "native"
+
+
+def test_corruption_detected(tmp_path):
+    p = tmp_path / "log.cpe"
+    _write_sample(p, use_native=False)
+    blob = bytearray(p.read_bytes())
+    blob[60] ^= 0xFF  # flip a payload byte
+    p.write_bytes(bytes(blob))
+    with pytest.raises(ValueError):
+        validate(str(p))
+    with pytest.raises(ValueError):
+        list(read_records(str(p)))
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "bad.cpe"
+    p.write_bytes(struct.pack("<II", 0xDEAD, 1))
+    with pytest.raises(ValueError):
+        list(read_records(str(p)))
+
+
+def test_episode_sink_splits_on_done(tmp_path):
+    p = tmp_path / "sink.cpe"
+    w = EventLogWriter(str(p), use_native=False)
+    sink = EpisodeSink(w, num_envs=2)
+    t, b = 6, 2
+    state = np.zeros((t, b, 3), np.float32)
+    action = np.zeros((t, b, 2), np.float32)
+    reward = np.ones((t, b), np.float32)
+    done = np.zeros((t, b), bool)
+    done[2, 0] = True   # env 0 finishes an episode at step 2
+    sink.add_rollout(state, action, reward, done)
+    # Second rollout continues numbering.
+    done2 = np.zeros((t, b), bool)
+    sink.add_rollout(state, action, reward, done2)
+    w.close()
+    chunks = [r for k, r in read_records(str(p)) if k == "chunk"]
+    env0 = [c for c in chunks if c["env_id"] == 0]
+    env1 = [c for c in chunks if c["env_id"] == 1]
+    # env0: [0..2 done] ep0, [3..5] ep1, [second rollout] ep1.
+    assert [c["episode_id"] for c in env0] == [0, 1, 1]
+    assert [len(c["reward"]) for c in env0] == [3, 3, 6]
+    assert [c["episode_id"] for c in env1] == [0, 0]
+    assert env0[0]["done"][-1] and not env0[1]["done"].any()
+
+
+def test_trace_real_rollout(tmp_path):
+    """Log a real env rollout and check the trace replays consistently:
+    rewards in the log match what the env returned, episode boundaries
+    match done flags."""
+    env = CartPole3D(CartPoleParams(), num_envs=4)
+    state, _ = jax.jit(env.reset)(0)
+
+    def policy(obs, key):
+        return jnp.zeros((obs.shape[0],), jnp.int32)
+
+    state, (obs, action, reward, done) = jax.jit(
+        lambda s: env.rollout(s, policy, 40))(state)
+
+    p = tmp_path / "trace.cpe"
+    with EventLogWriter(str(p), metadata={"obs": "pose_stack"}) as w:
+        sink = EpisodeSink(w, num_envs=4)
+        sink.add_rollout(np.asarray(obs), np.asarray(action)[..., None],
+                         np.asarray(reward), np.asarray(done))
+    total_logged = sum(r["reward"].sum()
+                       for k, r in read_records(str(p)) if k == "chunk")
+    np.testing.assert_allclose(total_logged, float(jnp.sum(reward)),
+                               rtol=1e-6)
+    assert validate(str(p)) >= 1
