@@ -27,6 +27,7 @@ TPU-native redesign (NOT a port of the TF-1.x graph):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -34,7 +35,7 @@ import jax.numpy as jnp
 import optax
 
 from ..env import CartPole3D
-from ..models import ActorMLP, CriticMLP, polyak
+from ..models import ActorMLP, CriticMLP, VisualActor, VisualCritic, polyak
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -80,13 +81,22 @@ class DDPG:
         self.env = env
         self.cfg = config
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-        self.actor_net = ActorMLP(action_dim=env.action_dim,
-                                  hidden=config.hidden, dtype=dtype)
-        self.critic_net = CriticMLP(hidden=config.hidden, dtype=dtype)
+        pixels = env.obs_mode == "pixels"
+        if pixels:
+            # Reference's pixel-obs DDPG: conv stack in front of both nets
+            # (BASELINE config 4); frames replayed quantized to uint8.
+            self.actor_net = VisualActor(action_dim=env.action_dim,
+                                         hidden=config.hidden, dtype=dtype)
+            self.critic_net = VisualCritic(hidden=config.hidden, dtype=dtype)
+        else:
+            self.actor_net = ActorMLP(action_dim=env.action_dim,
+                                      hidden=config.hidden, dtype=dtype)
+            self.critic_net = CriticMLP(hidden=config.hidden, dtype=dtype)
         self.replay = ReplayBuffer(
             num_envs=env.num_envs,
             capacity_per_env=config.replay_capacity_per_env,
-            obs_dim=env.obs_size,
+            obs_shape=env.obs_shape,
+            quantize_obs=pixels,
             action_dim=env.action_dim,
             discrete=False)
         self.actor_tx = optax.adam(config.actor_lr)
@@ -96,7 +106,7 @@ class DDPG:
     def init(self, key) -> DDPGState:
         k_actor, k_critic, k_env, k_run = jax.random.split(
             jax.random.PRNGKey(key) if isinstance(key, int) else key, 4)
-        obs0 = jnp.zeros((1, self.env.obs_size), jnp.float32)
+        obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         act0 = jnp.zeros((1, self.env.action_dim), jnp.float32)
         actor = self.actor_net.init(k_actor, obs0)
         critic = self.critic_net.init(k_critic, obs0, act0)
@@ -165,7 +175,7 @@ class DDPG:
         return st, {"critic_loss": closs, "actor_loss": aloss}
 
     # --- the fused actor-learner step ---------------------------------------
-    def train_step(self, st: DDPGState) -> tuple[DDPGState, dict]:
+    def train_step(self, st: DDPGState, capture: bool = False) -> tuple[DDPGState, dict]:
         """rollout_steps env-steps + replay insert + updates_per_step
         gradient updates, as one jit-able program."""
         c = self.cfg
@@ -208,11 +218,16 @@ class DDPG:
             env_steps >= c.warmup_env_steps, do_updates, skip_updates, st)
 
         metrics = dict(losses)
+        if capture:
+            metrics["traj"] = traj
         metrics["reward_mean"] = jnp.mean(traj[2])
         metrics["done_frac"] = jnp.mean(traj[3].astype(jnp.float32))
         metrics["env_steps"] = env_steps
         return st, metrics
 
-    def make_train_step(self):
-        """Jitted train_step with donated state."""
-        return jax.jit(self.train_step, donate_argnums=(0,))
+    def make_train_step(self, capture: bool = False):
+        """Jitted train_step with donated state. capture=True additionally
+        returns the rollout chunk in metrics["traj"] (time-major
+        (obs, action, reward, done)) for the event-log sink."""
+        return jax.jit(functools.partial(self.train_step, capture=capture),
+                       donate_argnums=(0,))

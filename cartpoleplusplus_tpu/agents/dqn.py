@@ -13,6 +13,7 @@ loop is replaced by `lax.scan`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -20,7 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from ..env import CartPole3D
-from ..models import QNetMLP, polyak
+from ..models import QNetMLP, VisualQNet, polyak
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -60,18 +61,23 @@ class DQN:
         self.env = env
         self.cfg = config
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-        self.q_net = QNetMLP(num_actions=env.num_actions,
-                             hidden=config.hidden, dtype=dtype)
+        pixels = env.obs_mode == "pixels"
+        if pixels:
+            self.q_net = VisualQNet(num_actions=env.num_actions,
+                                    hidden=config.hidden, dtype=dtype)
+        else:
+            self.q_net = QNetMLP(num_actions=env.num_actions,
+                                 hidden=config.hidden, dtype=dtype)
         self.replay = ReplayBuffer(
             num_envs=env.num_envs,
             capacity_per_env=config.replay_capacity_per_env,
-            obs_dim=env.obs_size, discrete=True)
+            obs_shape=env.obs_shape, quantize_obs=pixels, discrete=True)
         self.tx = optax.adam(config.lr)
 
     def init(self, key) -> DQNState:
         k_q, k_env, k_run = jax.random.split(
             jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
-        obs0 = jnp.zeros((1, self.env.obs_size), jnp.float32)
+        obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         q = self.q_net.init(k_q, obs0)
         env_state, obs = self.env.reset(k_env)
         return DQNState(
@@ -108,7 +114,7 @@ class DQN:
         q_sa = jnp.take_along_axis(qv, action[:, None], 1)[:, 0]
         return jnp.mean(optax.huber_loss(q_sa, jax.lax.stop_gradient(y)))
 
-    def train_step(self, st: DQNState) -> tuple[DQNState, dict]:
+    def train_step(self, st: DQNState, capture: bool = False) -> tuple[DQNState, dict]:
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
         eps = self.epsilon(st.env_steps)
@@ -149,7 +155,9 @@ class DQN:
             env_steps >= c.warmup_env_steps, do_updates,
             lambda s: (s, jnp.float32(0.0)), st)
 
+        metrics_extra = {"traj": traj} if capture else {}
         return st, {
+            **metrics_extra,
             "loss": loss,
             "epsilon": eps,
             "reward_mean": jnp.mean(traj[2]),
@@ -157,5 +165,9 @@ class DQN:
             "env_steps": env_steps,
         }
 
-    def make_train_step(self):
-        return jax.jit(self.train_step, donate_argnums=(0,))
+    def make_train_step(self, capture: bool = False):
+        """Jitted train_step with donated state. capture=True additionally
+        returns the rollout chunk in metrics["traj"] (time-major
+        (obs, action, reward, done)) for the event-log sink."""
+        return jax.jit(functools.partial(self.train_step, capture=capture),
+                       donate_argnums=(0,))

@@ -15,6 +15,7 @@ of the reference's episode loop. A running-mean baseline reduces variance
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -73,7 +74,7 @@ class LRPG:
     def init(self, key) -> LRPGState:
         k_net, k_env, k_run = jax.random.split(
             jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
-        obs0 = jnp.zeros((1, self.env.obs_size), jnp.float32)
+        obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         params = self.net.init(k_net, obs0)
         env_state, obs = self.env.reset(k_env)
         return LRPGState(params=params, opt=self.tx.init(params),
@@ -92,7 +93,8 @@ class LRPG:
         entropy = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=-1))
         return pg - self.cfg.entropy_coef * entropy
 
-    def train_step(self, st: LRPGState) -> tuple[LRPGState, dict]:
+    def train_step(self, st: LRPGState,
+                   capture: bool = False) -> tuple[LRPGState, dict]:
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
 
@@ -124,13 +126,20 @@ class LRPG:
         st = LRPGState(params=params, opt=opt, baseline=baseline,
                        env_state=env_state, obs=obs, rng=rng,
                        env_steps=st.env_steps + c.rollout_steps)
-        return st, {
+        metrics = {
             "loss": loss,
             "return_mean": jnp.mean(g),
             "reward_mean": jnp.mean(rew_t),
             "done_frac": jnp.mean(done_t.astype(jnp.float32)),
             "env_steps": st.env_steps,
         }
+        if capture:
+            metrics["traj"] = (obs_t, act_t, rew_t, done_t)
+        return st, metrics
 
-    def make_train_step(self):
-        return jax.jit(self.train_step, donate_argnums=(0,))
+    def make_train_step(self, capture: bool = False):
+        """Jitted train_step with donated state. capture=True additionally
+        returns the rollout chunk in metrics["traj"] (time-major
+        (obs, action, reward, done)) for the event-log sink."""
+        return jax.jit(functools.partial(self.train_step, capture=capture),
+                       donate_argnums=(0,))

@@ -12,6 +12,7 @@ Gaussian noise on mu (the reference used OU/Gaussian variants).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -67,7 +68,7 @@ class NAF:
     def init(self, key) -> NAFState:
         k_net, k_env, k_run = jax.random.split(
             jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
-        obs0 = jnp.zeros((1, self.env.obs_size), jnp.float32)
+        obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         act0 = jnp.zeros((1, self.env.action_dim), jnp.float32)
         params = self.net.init(k_net, obs0, act0)
         env_state, obs = self.env.reset(k_env)
@@ -92,7 +93,7 @@ class NAF:
         q, _, _ = self.net.apply(params, obs, action)
         return jnp.mean(jnp.square(q - jax.lax.stop_gradient(y)))
 
-    def train_step(self, st: NAFState) -> tuple[NAFState, dict]:
+    def train_step(self, st: NAFState, capture: bool = False) -> tuple[NAFState, dict]:
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
 
@@ -132,12 +133,18 @@ class NAF:
             env_steps >= c.warmup_env_steps, do_updates,
             lambda s: (s, jnp.float32(0.0)), st)
 
+        metrics_extra = {"traj": traj} if capture else {}
         return st, {
+            **metrics_extra,
             "loss": loss,
             "reward_mean": jnp.mean(traj[2]),
             "done_frac": jnp.mean(traj[3].astype(jnp.float32)),
             "env_steps": env_steps,
         }
 
-    def make_train_step(self):
-        return jax.jit(self.train_step, donate_argnums=(0,))
+    def make_train_step(self, capture: bool = False):
+        """Jitted train_step with donated state. capture=True additionally
+        returns the rollout chunk in metrics["traj"] (time-major
+        (obs, action, reward, done)) for the event-log sink."""
+        return jax.jit(functools.partial(self.train_step, capture=capture),
+                       donate_argnums=(0,))

@@ -43,15 +43,40 @@ class ReplayState(NamedTuple):
 
 
 class ReplayBuffer:
-    """Static configuration + pure add/sample functions."""
+    """Static configuration + pure add/sample functions.
 
-    def __init__(self, num_envs: int, capacity_per_env: int, obs_dim: int,
-                 action_dim: int = 0, discrete: bool = True):
+    obs_shape: per-env observation shape; (obs_dim,) for flat modes or
+    (H, W, C) for pixels. quantize_obs=True stores frames as uint8
+    ([0,1] float <-> 0..255), an 8x HBM saving that makes pixel replay
+    feasible at thousands of envs (the reference stored raw frames in its
+    numpy ring too, at far smaller scale).
+    """
+
+    def __init__(self, num_envs: int, capacity_per_env: int,
+                 obs_dim: int | None = None, action_dim: int = 0,
+                 discrete: bool = True, obs_shape: tuple | None = None,
+                 quantize_obs: bool = False):
+        if obs_shape is None:
+            if obs_dim is None:
+                raise ValueError("need obs_dim or obs_shape")
+            obs_shape = (obs_dim,)
         self.num_envs = num_envs
         self.capacity = capacity_per_env
+        self.obs_shape = tuple(obs_shape)
         self.obs_dim = obs_dim
         self.action_dim = action_dim
         self.discrete = discrete
+        self.quantize_obs = quantize_obs
+
+    def _encode_obs(self, obs):
+        if self.quantize_obs:
+            return jnp.clip(obs * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        return obs.astype(jnp.float32)
+
+    def _decode_obs(self, stored):
+        if self.quantize_obs:
+            return stored.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        return stored
 
     def init(self) -> ReplayState:
         b, c = self.num_envs, self.capacity
@@ -59,8 +84,9 @@ class ReplayBuffer:
             action = jnp.zeros((b, c), jnp.int32)
         else:
             action = jnp.zeros((b, c, self.action_dim), jnp.float32)
+        obs_dtype = jnp.uint8 if self.quantize_obs else jnp.float32
         return ReplayState(
-            obs=jnp.zeros((b, c, self.obs_dim), jnp.float32),
+            obs=jnp.zeros((b, c) + self.obs_shape, obs_dtype),
             action=action,
             reward=jnp.zeros((b, c), jnp.float32),
             done=jnp.zeros((b, c), bool),
@@ -71,16 +97,17 @@ class ReplayBuffer:
     def add(self, rs: ReplayState, obs, action, reward, done) -> ReplayState:
         """Insert one transition per env at the ring cursor.
 
-        obs: (B, obs_dim); action: (B,) or (B, act_dim); reward/done: (B,).
+        obs: (B,) + obs_shape; action: (B,) or (B, act_dim);
+        reward/done: (B,).
         """
         i = rs.cursor
 
         def put(buf, row):
-            row = row.astype(buf.dtype)[:, None]
+            row = jnp.expand_dims(row.astype(buf.dtype), 1)
             return jax.lax.dynamic_update_slice_in_dim(buf, row, i, axis=1)
 
         return ReplayState(
-            obs=put(rs.obs, obs),
+            obs=put(rs.obs, self._encode_obs(obs)),
             action=put(rs.action, action),
             reward=put(rs.reward, reward),
             done=put(rs.done, done),
@@ -115,8 +142,8 @@ class ReplayBuffer:
         age = jax.random.randint(k_slot, (batch_size,), 1, n_valid + 1)
         slot = (rs.cursor - 1 - age) % self.capacity
         nxt = (slot + 1) % self.capacity
-        obs = rs.obs[env_idx, slot]
-        next_obs = rs.obs[env_idx, nxt]
+        obs = self._decode_obs(rs.obs[env_idx, slot])
+        next_obs = self._decode_obs(rs.obs[env_idx, nxt])
         action = rs.action[env_idx, slot]
         reward = rs.reward[env_idx, slot]
         done = rs.done[env_idx, slot]

@@ -57,16 +57,20 @@ def measure_env_steps_per_sec(env: CartPole3D, num_steps: int = 512,
     run = rollout if rollout is not None else build_rollout(env, num_steps)
     state, _ = jax.jit(env.reset)(seed)
 
+    # Synchronization: a device->host transfer of the scalar checksum
+    # (float(acc)), NOT jax.block_until_ready — on the tunneled 'axon'
+    # platform block_until_ready returns on enqueue, which silently turns
+    # the timing loop into a dispatch-latency benchmark.
     t0 = time.perf_counter()
     state, acc = run(state)
-    jax.block_until_ready(acc)
+    checksum = float(acc)
     compile_and_first = time.perf_counter() - t0
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         state, acc = run(state)
-        jax.block_until_ready(acc)
+        checksum = float(acc)
         best = min(best, time.perf_counter() - t0)
 
     steps = env.num_envs * num_steps
@@ -77,6 +81,6 @@ def measure_env_steps_per_sec(env: CartPole3D, num_steps: int = 512,
         "num_steps": num_steps,
         "best_seconds": best,
         "compile_and_first_seconds": compile_and_first,
-        "checksum": float(acc),
+        "checksum": checksum,
         "backend": jax.default_backend(),
     }

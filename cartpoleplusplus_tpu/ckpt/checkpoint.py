@@ -1,0 +1,101 @@
+"""Orbax-backed checkpointing of full agent training states.
+
+The unit of persistence is the agent's TrainState NamedTuple (ddpg.py
+etc.) — a pure pytree of arrays, so no custom serialization is needed.
+`CheckpointManager` adds periodic-save/retention/resume bookkeeping, the
+step-level API the reference exposed via TF Saver + `--ckpt-dir`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _to_pytree(state):
+    """NamedTuple -> plain nested dict (orbax-friendly, field-named)."""
+    if hasattr(state, "_asdict"):
+        return {k: _to_pytree(v) for k, v in state._asdict().items()}
+    return state
+
+
+def _from_pytree(template, tree):
+    """Rebuild the NamedTuple structure of `template` from a plain dict."""
+    if hasattr(template, "_asdict"):
+        return type(template)(**{
+            k: _from_pytree(v, tree[k])
+            for k, v in template._asdict().items()})
+    return tree
+
+
+def save_checkpoint(path: str, state, force: bool = True) -> None:
+    """Write one checkpoint to `path` (a directory)."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _to_pytree(state), force=force)
+
+
+def restore_checkpoint(path: str, target):
+    """Restore into the structure (and shardings) of `target` — pass the
+    freshly-initialized agent state; arrays land with target's sharding,
+    which makes this multi-host / re-layout safe."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                _to_pytree(target))
+        restored = ckptr.restore(path, abstract)
+    return _from_pytree(target, restored)
+
+
+class CheckpointManager:
+    """Periodic save / latest-resume over a checkpoint directory.
+
+    Reference counterpart: the TF Saver save-every-N-steps loop. Orbax's
+    CheckpointManager handles retention, atomicity (tmp dir + rename) and
+    multi-host coordination.
+    """
+
+    def __init__(self, directory: str, save_interval_steps: int = 1,
+                 max_to_keep: int = 3):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                save_interval_steps=save_interval_steps,
+                max_to_keep=max_to_keep,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state) -> bool:
+        """Save if the interval policy says so; returns whether saved."""
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(_to_pytree(state)))
+        return bool(saved)
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, target, step: int | None = None):
+        """Restore `step` (default: latest) into `target`'s structure."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                _to_pytree(target))
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract))
+        return _from_pytree(target, restored)
+
+    def wait_until_finished(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,79 @@
+"""Typed run configuration + dataclass-driven CLI flags.
+
+Reference counterpart: the argparse option system of
+rebcabin/cartpoleplusplus — each module contributes `add_opts(parser)` and
+the opts object threads through constructors (SURVEY.md §1 L4, §5 config
+row; reference mount empty this session).
+
+Redesign: configuration is a tree of frozen dataclasses (physics/env
+params in physics/params.py, agent configs in agents/*.py, run settings
+here). `add_dataclass_args` auto-generates argparse flags from dataclass
+fields — the composition the reference did by hand — and `from_args`
+rebuilds the dataclass, so every flag stays in one place and is hashable
+for jit static arguments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import get_origin
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Top-level settings for a training run (train.py CLI)."""
+
+    agent: str = "ddpg"              # ddpg | dqn | naf | lrpg | random
+    num_envs: int = 4096
+    obs_mode: str = "pose_stack"     # pose_stack | state | pixels
+    total_env_steps: int = 100_000   # per-env steps to train for
+    seed: int = 0
+    log_interval: int = 10           # train_steps between metric prints
+    ckpt_dir: str = ""               # empty = no checkpointing
+    ckpt_interval: int = 100         # train_steps between saves
+    event_log: str = ""              # empty = no event log
+    use_mesh: bool = True            # shard envs over all local devices
+    profile_dir: str = ""            # empty = no profiler trace
+
+
+def _flag(name: str) -> str:
+    return "--" + name.replace("_", "-")
+
+
+def add_dataclass_args(parser: argparse.ArgumentParser, cls,
+                       prefix: str = "") -> None:
+    """One argparse flag per field. bools become --x/--no-x pairs; tuples
+    take space-separated values. Nested dataclasses get a dotted prefix."""
+    for f in dataclasses.fields(cls):
+        name = prefix + f.name
+        default = (f.default if f.default is not dataclasses.MISSING
+                   else f.default_factory())
+        if dataclasses.is_dataclass(f.type):
+            add_dataclass_args(parser, f.type, prefix=name + ".")
+        elif f.type in ("bool", bool):
+            parser.add_argument(_flag(name), dest=name,
+                                action=argparse.BooleanOptionalAction,
+                                default=default)
+        elif f.type in ("tuple", tuple) or get_origin(f.type) is tuple:
+            elem = type(default[0]) if default else int
+            parser.add_argument(_flag(name), dest=name, nargs="*",
+                                type=elem, default=default)
+        else:
+            typ = {"int": int, "float": float, "str": str}.get(
+                f.type, f.type if callable(f.type) else str)
+            parser.add_argument(_flag(name), dest=name, type=typ,
+                                default=default)
+
+
+def from_args(cls, args: argparse.Namespace, prefix: str = ""):
+    """Rebuild a dataclass instance from parsed args (tuples re-tupled)."""
+    kw = {}
+    for f in dataclasses.fields(cls):
+        name = prefix + f.name
+        if dataclasses.is_dataclass(f.type):
+            kw[f.name] = from_args(f.type, args, prefix=name + ".")
+        else:
+            v = getattr(args, name)
+            kw[f.name] = tuple(v) if isinstance(v, list) else v
+    return cls(**kw)

@@ -19,6 +19,9 @@ from .nets import (
     PixelEncoder,
     PolicyMLP,
     QNetMLP,
+    VisualActor,
+    VisualCritic,
+    VisualQNet,
     polyak,
 )
 
@@ -29,5 +32,8 @@ __all__ = [
     "PixelEncoder",
     "PolicyMLP",
     "QNetMLP",
+    "VisualActor",
+    "VisualCritic",
+    "VisualQNet",
     "polyak",
 ]

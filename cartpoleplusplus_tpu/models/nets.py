@@ -151,6 +151,51 @@ class NafNet(nn.Module):
         return v + adv, mu, v
 
 
+class VisualActor(nn.Module):
+    """PixelEncoder + ActorMLP: deterministic policy from raw frames.
+
+    Reference counterpart: the conv-stack-into-actor graph used by the
+    reference's pixel-observation DDPG variant (`base_network.py` conv
+    helpers feeding `ddpg_cartpole.py`'s ActorNetwork)."""
+
+    action_dim: int = 2
+    hidden: Sequence[int] = (256, 256)
+    features: Sequence[int] = (16, 32, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        x = PixelEncoder(self.features, self.dtype)(img)
+        return ActorMLP(self.action_dim, self.hidden, self.dtype)(x)
+
+
+class VisualCritic(nn.Module):
+    """PixelEncoder + CriticMLP: Q(frames, action)."""
+
+    hidden: Sequence[int] = (256, 256)
+    features: Sequence[int] = (16, 32, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, action):
+        x = PixelEncoder(self.features, self.dtype)(img)
+        return CriticMLP(self.hidden, self.dtype)(x, action)
+
+
+class VisualQNet(nn.Module):
+    """PixelEncoder + QNetMLP: discrete Q-values from raw frames."""
+
+    num_actions: int = 5
+    hidden: Sequence[int] = (256, 256)
+    features: Sequence[int] = (16, 32, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        x = PixelEncoder(self.features, self.dtype)(img)
+        return QNetMLP(self.num_actions, self.hidden, self.dtype)(x)
+
+
 class PixelEncoder(nn.Module):
     """Small conv stack for pixel observations -> flat features.
 

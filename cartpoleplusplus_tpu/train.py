@@ -1,0 +1,146 @@
+"""Training CLI — the user-facing entry point for every agent family.
+
+Reference counterpart: the per-algorithm scripts at the reference's root
+(`ddpg_cartpole.py --flags`, `dqn_cartpole.py`, `naf_cartpole.py`,
+`lrpg_cartpole.py`, `random_action_agent.py` — SURVEY.md §2a/§3.3;
+reference mount empty this session). One CLI replaces all five: the env,
+agent, mesh, checkpointing, event log and profiler are assembled from a
+typed config.
+
+Usage:
+    python -m cartpoleplusplus_tpu.train --agent ddpg --num-envs 4096
+    python -m cartpoleplusplus_tpu.train --agent dqn --agent-cfg.lr 1e-3
+    python -m cartpoleplusplus_tpu.train --agent random  # smoke/baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from . import CartPole3D, CartPoleParams
+from .agents import DDPG, DDPGConfig, DQN, DQNConfig, LRPG, LRPGConfig, \
+    NAF, NAFConfig, RandomAgent
+from .config import RunConfig, add_dataclass_args, from_args
+from .physics.params import continuous_params
+
+_AGENTS = {
+    "ddpg": (DDPG, DDPGConfig, "continuous"),
+    "naf": (NAF, NAFConfig, "continuous"),
+    "dqn": (DQN, DQNConfig, "discrete"),
+    "lrpg": (LRPG, LRPGConfig, "discrete"),
+    "random": (None, None, "discrete"),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="cartpoleplusplus_tpu.train",
+                                 description=__doc__.split("\n")[0])
+    add_dataclass_args(ap, RunConfig)
+    # Physics/env and per-agent flags compose under dotted prefixes —
+    # the reference's `module.add_opts(parser)` pattern, automated.
+    add_dataclass_args(ap, CartPoleParams, prefix="env.")
+    for name, (_, cfg_cls, _) in _AGENTS.items():
+        if cfg_cls is not None:
+            add_dataclass_args(ap, cfg_cls, prefix=f"{name}.")
+    return ap
+
+
+def build(run: RunConfig, args: argparse.Namespace):
+    """(env, agent) from parsed configuration."""
+    _, cfg_cls, kind = _AGENTS[run.agent]
+    params = from_args(CartPoleParams, args, prefix="env.")
+    if kind == "continuous" and params.discrete_actions:
+        # Agents that need the continuous variant get its preset unless
+        # the user overrode the env flags explicitly.
+        params = continuous_params() if params == CartPoleParams() else \
+            params.replace(discrete_actions=False)
+    env = CartPole3D(params, num_envs=run.num_envs, obs_mode=run.obs_mode)
+    if run.agent == "random":
+        return env, RandomAgent(env)
+    agent_cls = _AGENTS[run.agent][0]
+    cfg = from_args(cfg_cls, args, prefix=f"{run.agent}.")
+    return env, agent_cls(env, cfg)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    run = from_args(RunConfig, args)
+    if run.agent not in _AGENTS:
+        print(f"unknown agent {run.agent!r}; choose from {list(_AGENTS)}",
+              file=sys.stderr)
+        return 2
+    env, agent = build(run, args)
+
+    if run.agent == "random":
+        stats = jax.jit(agent.evaluate, static_argnums=(1,))(
+            jax.random.PRNGKey(run.seed),
+            max(run.total_env_steps // run.num_envs, 1))
+        print(json.dumps({k: float(v) for k, v in stats.items()}))
+        return 0
+
+    state = agent.init(run.seed)
+    if run.use_mesh and len(jax.devices()) > 1:
+        from .dist import make_mesh, shard_agent_state
+        state = shard_agent_state(state, make_mesh())
+
+    sink = None
+    if run.event_log:
+        from .eventlog import EpisodeSink, EventLogWriter
+        writer = EventLogWriter(run.event_log, metadata={
+            "run": dataclasses.asdict(run),
+            "env": dataclasses.asdict(env.params)})
+        sink = EpisodeSink(writer, run.num_envs)
+
+    step = agent.make_train_step(capture=sink is not None)
+
+    mgr = None
+    if run.ckpt_dir:
+        from .ckpt import CheckpointManager
+        mgr = CheckpointManager(run.ckpt_dir,
+                                save_interval_steps=run.ckpt_interval)
+        latest = mgr.latest_step()
+        if latest is not None:
+            state = mgr.restore(state, latest)
+            print(f"resumed from step {latest}", file=sys.stderr)
+
+    if run.profile_dir:
+        jax.profiler.start_trace(run.profile_dir)
+
+    steps_per_call = agent.cfg.rollout_steps
+    n_calls = max(run.total_env_steps // steps_per_call, 1)
+    t0 = time.perf_counter()
+    for i in range(n_calls):
+        state, metrics = step(state)
+        if sink is not None:
+            obs_t, act_t, rew_t, done_t = metrics.pop("traj")
+            sink.add_rollout(np.asarray(obs_t), np.asarray(act_t),
+                             np.asarray(rew_t), np.asarray(done_t))
+        if mgr is not None:
+            mgr.save(i, state)
+        if (i + 1) % run.log_interval == 0 or i == n_calls - 1:
+            m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            rate = (run.num_envs * steps_per_call * (i + 1)
+                    / (time.perf_counter() - t0))
+            m["env_steps_per_sec"] = round(rate)
+            m["train_step"] = i + 1
+            print(json.dumps(m))
+
+    if run.profile_dir:
+        jax.profiler.stop_trace()
+    if mgr is not None:
+        mgr.wait_until_finished()
+        mgr.close()
+    if sink is not None:
+        sink.writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,34 +21,41 @@ Reference counterpart: numpy's global RandomState used by
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_GOLDEN = jnp.uint32(0x9E3779B9)
+# numpy scalars (not jnp) so Pallas kernels do not capture device constants
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def triple32(x):
     """Bijective 32-bit mixer. x: uint32 array."""
     x = jnp.asarray(x, jnp.uint32)
     x = x ^ (x >> 17)
-    x = x * jnp.uint32(0xED5AD4BB)
+    x = x * np.uint32(0xED5AD4BB)
     x = x ^ (x >> 11)
-    x = x * jnp.uint32(0xAC4C1B51)
+    x = x * np.uint32(0xAC4C1B51)
     x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x31848BAB)
+    x = x * np.uint32(0x31848BAB)
     x = x ^ (x >> 14)
     return x
 
 
 def hash_words(*words):
     """Combine integer words (arrays broadcast together) into one uint32."""
-    h = jnp.uint32(0x243F6A88)  # pi fraction
+    h = np.uint32(0x243F6A88)  # pi fraction
     for w in words:
         h = triple32((h + _GOLDEN) ^ jnp.asarray(w, jnp.uint32))
     return h
 
 
 def uniform_from_bits(bits, lo=0.0, hi=1.0):
-    """uint32 bits -> float32 uniform in [lo, hi). Uses the top 24 bits."""
-    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    """uint32 bits -> float32 uniform in [lo, hi). Uses the top 24 bits.
+
+    The int32 hop is exact (bits >> 8 < 2^24) and required inside Pallas
+    kernels: Mosaic has no direct uint32 -> float32 cast.
+    """
+    u = (bits >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) \
+        * np.float32(1.0 / (1 << 24))
     return lo + u * (hi - lo)
 
 

@@ -1,0 +1,83 @@
+"""Checkpoint/resume tests: bit-exact resume of the full agent state
+(SURVEY.md §5 — the TF-Saver capability, rebuilt on orbax)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cartpoleplusplus_tpu import CartPole3D
+from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
+from cartpoleplusplus_tpu.ckpt import (
+    CheckpointManager,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from cartpoleplusplus_tpu.physics.params import continuous_params
+
+
+def _agent():
+    env = CartPole3D(continuous_params(), num_envs=4)
+    return DDPG(env, DDPGConfig(hidden=(16, 16), rollout_steps=2,
+                                updates_per_step=1, batch_size=16,
+                                replay_capacity_per_env=16,
+                                warmup_env_steps=0))
+
+
+def _assert_tree_equal(a, b):
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)), a, b)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    agent = _agent()
+    st = agent.init(0)
+    step = agent.make_train_step()
+    st, _ = step(st)
+    # make_train_step donates its input: save a fresh reference copy.
+    saved_copy = jax.tree.map(np.asarray, st)
+    save_checkpoint(str(tmp_path / "ck"), st)
+    restored = restore_checkpoint(str(tmp_path / "ck"), agent.init(1))
+    _assert_tree_equal(saved_copy, restored)
+
+
+def test_resume_is_bit_exact(tmp_path):
+    """train(ckpt(train(s))) == train(train(s)) — replay, env state and
+    PRNG all resume exactly."""
+    agent = _agent()
+    step = agent.make_train_step()
+
+    st = agent.init(0)
+    st, _ = step(st)
+    save_checkpoint(str(tmp_path / "ck"), st)
+    st_cont, m_cont = step(st)
+
+    restored = restore_checkpoint(str(tmp_path / "ck"), agent.init(1))
+    st_res, m_res = step(restored)
+    _assert_tree_equal(jax.tree.map(np.asarray, st_cont),
+                       jax.tree.map(np.asarray, st_res))
+    _assert_tree_equal(m_cont, m_res)
+
+
+def test_manager_interval_retention_resume(tmp_path):
+    agent = _agent()
+    st = agent.init(0)
+    with CheckpointManager(str(tmp_path / "runs"), save_interval_steps=2,
+                           max_to_keep=2) as mgr:
+        saves = [mgr.save(i, st) for i in range(5)]
+        mgr.wait_until_finished()
+        assert saves == [True, False, True, False, True]
+        assert mgr.latest_step() == 4
+        restored = mgr.restore(agent.init(1))
+        _assert_tree_equal(jax.tree.map(np.asarray, st),
+                           jax.tree.map(np.asarray, restored))
+
+    with CheckpointManager(str(tmp_path / "runs")) as mgr2:
+        assert mgr2.latest_step() == 4  # resume discovery across processes
+
+
+def test_restore_missing_raises(tmp_path):
+    agent = _agent()
+    with CheckpointManager(str(tmp_path / "empty")) as mgr:
+        with pytest.raises(FileNotFoundError):
+            mgr.restore(agent.init(0))

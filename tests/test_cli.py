@@ -1,0 +1,76 @@
+"""Config/CLI tests (SURVEY.md §5 config row): dataclass->argparse
+round-trip, agent construction, and the train entry point end to end
+with checkpointing + event logging enabled."""
+
+import json
+
+import numpy as np
+
+from cartpoleplusplus_tpu.config import RunConfig, add_dataclass_args, from_args
+from cartpoleplusplus_tpu.train import _AGENTS, build, build_parser, main
+from cartpoleplusplus_tpu.eventlog import read_records, validate
+
+
+def test_flag_roundtrip_defaults():
+    args = build_parser().parse_args([])
+    run = from_args(RunConfig, args)
+    assert run == RunConfig()
+
+
+def test_flag_overrides_nested():
+    args = build_parser().parse_args([
+        "--agent", "dqn", "--num-envs", "32",
+        "--env.action-force", "8.5", "--no-env.discrete-actions",
+        "--dqn.lr", "0.002", "--dqn.hidden", "16", "16",
+    ])
+    run = from_args(RunConfig, args)
+    assert run.agent == "dqn" and run.num_envs == 32
+    assert getattr(args, "env.action_force") == 8.5
+    assert getattr(args, "env.discrete_actions") is False
+    assert getattr(args, "dqn.lr") == 0.002
+    assert getattr(args, "dqn.hidden") == [16, 16]
+
+
+def test_build_every_agent():
+    for name in _AGENTS:
+        args = build_parser().parse_args(["--agent", name,
+                                          "--num-envs", "4"])
+        run = from_args(RunConfig, args)
+        env, agent = build(run, args)
+        assert env.num_envs == 4
+        kind = _AGENTS[name][2]
+        assert env.params.discrete_actions == (kind == "discrete")
+
+
+def test_train_main_random(capsys):
+    rc = main(["--agent", "random", "--num-envs", "8",
+               "--total-env-steps", "128"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["episodes"] > 0
+
+
+def test_train_main_dqn_with_ckpt_and_eventlog(tmp_path, capsys):
+    log = tmp_path / "train.cpe"
+    argv = ["--agent", "dqn", "--num-envs", "8",
+            "--total-env-steps", "8",
+            "--log-interval", "1",
+            "--ckpt-dir", str(tmp_path / "ck"), "--ckpt-interval", "1",
+            "--event-log", str(log),
+            "--dqn.hidden", "16", "--dqn.rollout-steps", "4",
+            "--dqn.updates-per-step", "1", "--dqn.batch-size", "16",
+            "--dqn.replay-capacity-per-env", "16",
+            "--dqn.warmup-env-steps", "0"]
+    assert main(argv) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["env_steps"] == 8.0
+    assert np.isfinite(lines[-1]["loss"])
+    # Event log captured the rollout; per-env step totals must add up.
+    assert validate(str(log)) >= 1
+    chunks = [r for k, r in read_records(str(log)) if k == "chunk"]
+    assert sum(len(c["reward"]) for c in chunks) == 8 * 8
+    # Resume path: a second invocation restores from the checkpoint.
+    assert main(argv) == 0
+    err_or_out = capsys.readouterr()
+    # (resume message goes to stderr)
+    assert "resumed from step" in err_or_out.err
