@@ -58,9 +58,12 @@ _TAG_PUSH_MAG = 0x23
 
 # Discrete action -> force direction table (noop, +x, -x, +y, -y).
 # Reference: the 5-way discrete action space of `bullet_cartpole.py`.
-_ACTION_TABLE = jnp.array(
+# numpy (not jnp) so importing this module does not initialize the XLA
+# backend — required for jax.distributed.initialize to be callable after
+# importing the package (multi-host runtime).
+_ACTION_TABLE = np.array(
     [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
@@ -122,7 +125,7 @@ def _reset_phys(p: CartPoleParams, env_seed, episode) -> PhysState:
 def _map_action(p: CartPoleParams, action) -> jax.Array:
     """Agent action -> cart force (B, 2)."""
     if p.discrete_actions:
-        return _ACTION_TABLE[action] * p.action_force
+        return jnp.asarray(_ACTION_TABLE)[action] * p.action_force
     return jnp.clip(action, -1.0, 1.0) * p.action_force
 
 

@@ -1,0 +1,65 @@
+"""Multi-process (simulated multi-host) runtime test.
+
+SURVEY.md §4: "multi-host is tested with jax.distributed multi-process on
+one host". Two JAX processes x 2 virtual CPU devices form a 4-device
+global ('data',) mesh via `initialize_multihost`; the sharded env rollout
+must produce identical totals on every rank — the runtime layer BASELINE
+config 5 needs (/root/repo/BASELINE.json:11), minus the real pod.
+"""
+
+import os
+import subprocess
+import sys
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+rank = int(sys.argv[1])
+port = sys.argv[2]
+sys.path.insert(0, {repo!r})
+from cartpoleplusplus_tpu.dist import initialize_multihost, make_mesh, \
+    shard_batch_tree
+initialize_multihost(f"localhost:{{port}}".format(port=port),
+                     num_processes=2, process_id=rank)
+import jax.numpy as jnp
+from cartpoleplusplus_tpu import CartPole3D, CartPoleParams
+
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+env = CartPole3D(CartPoleParams(), num_envs=32)
+mesh = make_mesh()
+state, _ = jax.jit(env.reset)(0)
+state = shard_batch_tree(state, mesh)
+def policy(o, k):
+    return jnp.zeros((o.shape[0],), jnp.int32)
+state, (obs, act, rew, done) = jax.jit(
+    lambda s: env.rollout(s, policy, 16))(state)
+print("TOTAL", float(jnp.sum(rew)), flush=True)
+"""
+
+
+def test_two_process_mesh_rollout(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.replace("{repo!r}", repr(repo)))
+    port = "23461"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",)}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(rank), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for rank in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=280)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    totals = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("TOTAL")]
+        assert lines, out[-2000:]
+        totals.append(float(lines[0].split()[1]))
+    assert totals[0] == totals[1] > 0
