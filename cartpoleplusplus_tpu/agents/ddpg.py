@@ -52,6 +52,8 @@ class DDPGConfig:
     replay_capacity_per_env: int = 1024
     ou_theta: float = 0.15           # OU mean-reversion
     ou_sigma: float = 0.2            # OU noise scale
+    ou_sigma_min: float = 0.05       # floor after decay
+    ou_sigma_decay_env_steps: int = 0  # linear decay horizon (0 = constant)
     warmup_env_steps: int = 16       # slots to fill before learning starts
     dtype: str = "float32"           # network compute dtype ("bfloat16" on TPU)
 
@@ -135,10 +137,19 @@ class DDPG:
             a = jnp.clip(a + noise, -1.0, 1.0)
         return a
 
-    def _ou_step(self, noise, key):
+    def _sigma(self, env_steps):
+        c = self.cfg
+        if c.ou_sigma_decay_env_steps <= 0:
+            return jnp.float32(c.ou_sigma)
+        frac = jnp.clip(env_steps.astype(jnp.float32)
+                        / c.ou_sigma_decay_env_steps, 0.0, 1.0)
+        return c.ou_sigma + frac * (c.ou_sigma_min - c.ou_sigma)
+
+    def _ou_step(self, noise, key, sigma=None):
         c = self.cfg
         eps = jax.random.normal(key, noise.shape, jnp.float32)
-        return noise + c.ou_theta * (0.0 - noise) + c.ou_sigma * eps
+        s = c.ou_sigma if sigma is None else sigma
+        return noise + c.ou_theta * (0.0 - noise) + s * eps
 
     # --- learning -----------------------------------------------------------
     def _critic_loss(self, critic, actor_target, critic_target, batch):
@@ -181,9 +192,11 @@ class DDPG:
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
 
+        sigma = self._sigma(st.env_steps)
+
         def env_body(carry, key):
             env_state, obs, noise = carry
-            noise = self._ou_step(noise, key)
+            noise = self._ou_step(noise, key, sigma)
             action = self.act(st.actor, obs, noise)
             env_state, next_obs, reward, done, _ = self.env.step(
                 env_state, action)

@@ -23,7 +23,6 @@ TPU-native redesign (NOT a port):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
