@@ -53,7 +53,7 @@ class DDPGConfig:
     ou_theta: float = 0.15           # OU mean-reversion
     ou_sigma: float = 0.2            # OU noise scale
     ou_sigma_min: float = 0.05       # floor after decay
-    ou_sigma_decay_env_steps: int = 0  # linear decay horizon (0 = constant)
+    ou_sigma_decay_env_steps: int = 6000  # linear decay horizon (0 = constant)
     warmup_env_steps: int = 16       # slots to fill before learning starts
     dtype: str = "float32"           # network compute dtype ("bfloat16" on TPU)
 

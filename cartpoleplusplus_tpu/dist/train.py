@@ -62,12 +62,12 @@ def measure_rollout_rate(env, num_steps: int = 256, repeats: int = 3,
     state, _ = jax.jit(env.reset)(seed)
     state = shard_batch_tree(state, mesh)
     state, acc = run(state)
-    jax.block_until_ready(acc)
-    best = float("inf")
+    _ = float(acc)  # D2H sync: block_until_ready is unreliable on the
+    best = float("inf")  # tunneled platform (see bench/harness.py).
     for _ in range(repeats):
         t0 = time.perf_counter()
         state, acc = run(state)
-        jax.block_until_ready(acc)
+        _ = float(acc)
         best = min(best, time.perf_counter() - t0)
     return env.num_envs * num_steps / best
 
