@@ -99,15 +99,24 @@ def generalized_forces(p: CartPoleParams, z, vx, vy, vz, sdx, sdy,
     (reference: `pybullet.applyExternalForce` on the pole body).
     """
     fn = contact_normal_force(p, z, vz)
-    # Smooth Coulomb friction on the cart while in contact (branch-free).
-    fric_x = p.ground_friction * fn * jnp.tanh(vx / p.friction_vel_eps)
-    fric_y = p.ground_friction * fn * jnp.tanh(vy / p.friction_vel_eps)
-    qx = fx + push_x - fric_x - p.linear_damping * vx
-    qy = fy + push_y - fric_y - p.linear_damping * vy
+    qx = fx + push_x
+    qy = fy + push_y
+    # Coefficients are compile-time constants: zero-valued terms are gated
+    # out at trace time (XLA cannot fold tanh(x)*0 under NaN semantics).
+    if p.ground_friction != 0.0:
+        # Smooth Coulomb friction on the cart while in contact.
+        qx = qx - p.ground_friction * fn * jnp.tanh(vx / p.friction_vel_eps)
+        qy = qy - p.ground_friction * fn * jnp.tanh(vy / p.friction_vel_eps)
+    if p.linear_damping != 0.0:
+        qx = qx - p.linear_damping * vx
+        qy = qy - p.linear_damping * vy
     qz = fn
     # Horizontal push at the pole COM -> generalized tilt force l * push.
-    qsx = p.half_length * push_x - p.angular_damping * sdx
-    qsy = p.half_length * push_y - p.angular_damping * sdy
+    qsx = p.half_length * push_x
+    qsy = p.half_length * push_y
+    if p.angular_damping != 0.0:
+        qsx = qsx - p.angular_damping * sdx
+        qsy = qsy - p.angular_damping * sdy
     return qx, qy, qz, qsx, qsy
 
 
@@ -115,8 +124,9 @@ def solve_accel(p: CartPoleParams, sx, sy, sdx, sdy, qx, qy, qz, qsx, qsy):
     """Closed-form M(q)^{-1} (Q - c): returns (ax, ay, az, asx, asy)."""
     mt, jc, kg = p.total_mass, p.coupling, p.pole_gen_inertia
     mgl = p.pole_mass * p.gravity * p.half_length
-    w = pole_w(p, sx, sy)
-    inv_w = 1.0 / w
+    w2 = jnp.maximum(1.0 - sx * sx - sy * sy, p.w_min * p.w_min)
+    inv_w = jax.lax.rsqrt(w2)   # one rsqrt replaces sqrt + divide
+    w = w2 * inv_w
     inv_w2 = inv_w * inv_w
     sigma = sx * sdx + sy * sdy
     sd2 = sdx * sdx + sdy * sdy
