@@ -20,8 +20,14 @@ def main():
     from cartpoleplusplus_tpu import CartPole3D, CartPoleParams
     from cartpoleplusplus_tpu.bench import measure_env_steps_per_sec
     from cartpoleplusplus_tpu.ops import best_rollout
+    from cartpoleplusplus_tpu.physics.params import continuous_params
 
-    env = CartPole3D(CartPoleParams(), num_envs=num_envs)
+    # BENCH_CONFIG=continuous benches config 3 (pushes + shaped reward);
+    # default is the discrete config-2 shape (BASELINE.json:8).
+    config = os.environ.get("BENCH_CONFIG", "discrete")
+    params = continuous_params() if config == "continuous" \
+        else CartPoleParams()
+    env = CartPole3D(params, num_envs=num_envs)
     rollout, impl = best_rollout(env, num_steps)
     try:
         stats = measure_env_steps_per_sec(env, num_steps=num_steps,
