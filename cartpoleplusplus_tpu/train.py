@@ -130,7 +130,7 @@ def main(argv=None) -> int:
                     / (time.perf_counter() - t0))
             m["env_steps_per_sec"] = round(rate)
             m["train_step"] = i + 1
-            print(json.dumps(m))
+            print(json.dumps(m), flush=True)
 
     if run.profile_dir:
         jax.profiler.stop_trace()
