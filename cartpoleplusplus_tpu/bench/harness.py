@@ -51,7 +51,7 @@ def build_rollout(env: CartPole3D, num_steps: int, donate: bool = True):
 
 
 def measure_env_steps_per_sec(env: CartPole3D, num_steps: int = 512,
-                              repeats: int = 5, seed: int = 0,
+                              repeats: int = 8, seed: int = 0,
                               rollout=None) -> dict:
     """Compile, warm up once, then report the best-of-`repeats` rate."""
     run = rollout if rollout is not None else build_rollout(env, num_steps)
