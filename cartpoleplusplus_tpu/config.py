@@ -17,7 +17,19 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import typing
 from typing import get_origin
+
+
+def _field_types(cls) -> dict:
+    """Resolved (non-string) annotation per field. With `from __future__
+    import annotations` in config modules, `field.type` is a string;
+    get_type_hints resolves it so bool/tuple/nested-dataclass dispatch
+    below actually fires."""
+    try:
+        return typing.get_type_hints(cls)
+    except Exception:
+        return {f.name: f.type for f in dataclasses.fields(cls)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,34 +57,37 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls,
                        prefix: str = "") -> None:
     """One argparse flag per field. bools become --x/--no-x pairs; tuples
     take space-separated values. Nested dataclasses get a dotted prefix."""
+    types = _field_types(cls)
     for f in dataclasses.fields(cls):
         name = prefix + f.name
+        ftype = types.get(f.name, f.type)
         default = (f.default if f.default is not dataclasses.MISSING
                    else f.default_factory())
-        if dataclasses.is_dataclass(f.type):
-            add_dataclass_args(parser, f.type, prefix=name + ".")
-        elif f.type in ("bool", bool):
+        if dataclasses.is_dataclass(ftype):
+            add_dataclass_args(parser, ftype, prefix=name + ".")
+        elif ftype is bool:
             parser.add_argument(_flag(name), dest=name,
                                 action=argparse.BooleanOptionalAction,
                                 default=default)
-        elif f.type in ("tuple", tuple) or get_origin(f.type) is tuple:
+        elif ftype is tuple or get_origin(ftype) is tuple:
             elem = type(default[0]) if default else int
             parser.add_argument(_flag(name), dest=name, nargs="*",
                                 type=elem, default=default)
         else:
-            typ = {"int": int, "float": float, "str": str}.get(
-                f.type, f.type if callable(f.type) else str)
+            typ = ftype if callable(ftype) and not isinstance(ftype, str) \
+                else str
             parser.add_argument(_flag(name), dest=name, type=typ,
                                 default=default)
 
 
 def from_args(cls, args: argparse.Namespace, prefix: str = ""):
     """Rebuild a dataclass instance from parsed args (tuples re-tupled)."""
+    types = _field_types(cls)
     kw = {}
     for f in dataclasses.fields(cls):
         name = prefix + f.name
-        if dataclasses.is_dataclass(f.type):
-            kw[f.name] = from_args(f.type, args, prefix=name + ".")
+        if dataclasses.is_dataclass(types.get(f.name, f.type)):
+            kw[f.name] = from_args(types[f.name], args, prefix=name + ".")
         else:
             v = getattr(args, name)
             kw[f.name] = tuple(v) if isinstance(v, list) else v

@@ -33,12 +33,11 @@ import numpy as np
 from ..physics import (
     CartPoleParams,
     PhysState,
-    apply_push_impulse,
     pole_w,
-    rest_state,
     run_substeps,
 )
-from ..utils.prng import hash_words, uniform
+from ..utils.prng import hash_words
+from . import compute
 from .obs import (
     OBS_MODES,
     obs_size,
@@ -47,13 +46,6 @@ from .obs import (
     state_obs,
 )
 from .pixels import RenderConfig, pixel_obs_shape, render_all_cameras
-
-# Stream-separation tags for the counter-based PRNG (utils/prng.py).
-_TAG_RESET_ANGLE = 0x11
-_TAG_RESET_MAG = 0x12
-_TAG_PUSH_GATE = 0x21
-_TAG_PUSH_ANGLE = 0x22
-_TAG_PUSH_MAG = 0x23
 
 # Discrete action -> force direction table (noop, +x, -x, +y, -y).
 # Reference: the 5-way discrete action space of `bullet_cartpole.py`.
@@ -92,33 +84,31 @@ def derive_env_seeds(key, num_envs: int) -> jax.Array:
 
 
 def reset_randomness(p: CartPoleParams, env_seed, episode):
-    """Initial push impulse: direction uniform on the circle, magnitude
-    uniform in [0.2, 1] * initial_push_force. Elementwise over any batch
-    shape; pure function of (env_seed, episode)."""
-    ang = uniform(0.0, 2.0 * jnp.pi, env_seed, episode, _TAG_RESET_ANGLE)
-    mag = uniform(0.2, 1.0, env_seed, episode, _TAG_RESET_MAG) * p.initial_push_force
-    return jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)], axis=-1)
+    """Initial push force vector (..., 2); stack-wrapper over the shared
+    componentwise source (env/compute.py — also used inside the Pallas
+    kernel and by the numpy oracle harness)."""
+    px, py = compute.reset_push_xy(p, env_seed, episode)
+    return jnp.stack([px, py], axis=-1)
 
 
 def push_randomness(p: CartPoleParams, env_seed, episode, step, repeat):
-    """Mid-episode push force for (env, step, repeat): zero with prob
-    1 - push_prob_per_repeat, else uniform direction / magnitude."""
-    gate = uniform(0.0, 1.0, env_seed, episode, step, repeat, _TAG_PUSH_GATE)
-    ang = uniform(0.0, 2.0 * jnp.pi, env_seed, episode, step, repeat, _TAG_PUSH_ANGLE)
-    mag = uniform(0.0, 1.0, env_seed, episode, step, repeat, _TAG_PUSH_MAG) * p.push_force
-    on = jnp.where(gate < p.push_prob_per_repeat, 1.0, 0.0)
-    return on[..., None] * jnp.stack([mag * jnp.cos(ang), mag * jnp.sin(ang)],
-                                     axis=-1)
+    """Mid-episode push force (..., 2); stack-wrapper over env/compute.py."""
+    px, py = compute.push_xy(p, env_seed, episode, step, repeat)
+    return jnp.stack([px, py], axis=-1)
 
 
 def _reset_phys(p: CartPoleParams, env_seed, episode) -> PhysState:
     """Fresh episode state (any batch shape): upright rest pose + random
     push impulse (the reference applies a random force over the first
     substeps; the impulse through the mass matrix is the equivalent
-    momentum transfer — physics/dynamics.py:apply_push_impulse)."""
-    st = rest_state(p, batch_shape=jnp.shape(env_seed))
-    push = reset_randomness(p, env_seed, episode)
-    return apply_push_impulse(p, st, push, p.initial_push_duration)
+    momentum transfer). Stack-wrapper over the shared componentwise source
+    env/compute.py::reset_components, which the Pallas kernel evaluates
+    verbatim — resets are identical in both paths by construction."""
+    c = compute.reset_components(p, env_seed, episode)
+    return PhysState(pos=jnp.stack(c[0:3], axis=-1),
+                     vel=jnp.stack(c[3:6], axis=-1),
+                     s=jnp.stack(c[6:8], axis=-1),
+                     sd=jnp.stack(c[8:10], axis=-1))
 
 
 def _map_action(p: CartPoleParams, action) -> jax.Array:
@@ -129,25 +119,23 @@ def _map_action(p: CartPoleParams, action) -> jax.Array:
 
 
 def _termination(p: CartPoleParams, phys: PhysState, steps):
+    """Wrapper over env/compute.py::termination_components (the shared
+    kernel/env source); additionally splits tilt vs out-of-bounds for the
+    info dict."""
+    done_phys, too_long = compute.termination_components(
+        p, phys.pos[..., 0], phys.pos[..., 1],
+        phys.s[..., 0], phys.s[..., 1], steps)
     s2 = jnp.sum(phys.s * phys.s, axis=-1)
     tilted = s2 > p.tilt_s2_limit
-    oob = (jnp.abs(phys.pos[..., 0]) > p.pos_limit) | (
-        jnp.abs(phys.pos[..., 1]) > p.pos_limit)
-    too_long = steps >= p.max_episode_steps
+    oob = done_phys & ~tilted
     return tilted, oob, too_long
 
 
 def _reward(p: CartPoleParams, phys: PhysState, done_physical):
-    """+1 per surviving step (discrete parity), or shaped angle/position
-    reward for the continuous variant (/root/repo/BASELINE.json:9)."""
-    if not p.reward_shaped:
-        return jnp.where(done_physical, 0.0, 1.0)
-    s2 = jnp.sum(phys.s * phys.s, axis=-1)
-    d2 = phys.pos[..., 0] ** 2 + phys.pos[..., 1] ** 2
-    shaped = (1.0
-              - 0.5 * s2 / p.tilt_s2_limit
-              - 0.5 * d2 / (p.pos_limit * p.pos_limit))
-    return jnp.where(done_physical, 0.0, jnp.maximum(shaped, 0.0))
+    """Wrapper over env/compute.py::reward_components (shared source)."""
+    return compute.reward_components(
+        p, phys.pos[..., 0], phys.pos[..., 1],
+        phys.s[..., 0], phys.s[..., 1], done_physical)
 
 
 class CartPole3D:

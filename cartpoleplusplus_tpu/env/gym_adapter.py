@@ -35,7 +35,11 @@ class Discrete:
         self.dtype = np.int64
 
     def sample(self, rng=None):
-        return int((rng or np.random).randint(self.n))
+        if rng is None:
+            rng = np.random
+        if hasattr(rng, "integers"):  # numpy Generator API
+            return int(rng.integers(self.n))
+        return int(rng.randint(self.n))
 
     def contains(self, x):
         return 0 <= int(x) < self.n
@@ -51,8 +55,17 @@ class Box:
         self.dtype = dtype
 
     def sample(self, rng=None):
-        return ((rng or np.random).uniform(self.low, self.high)
-                .astype(self.dtype))
+        if rng is None:
+            rng = np.random
+        # Unbounded dims sample standard normal (gym.Box convention);
+        # bounded dims sample uniform.
+        bounded = np.isfinite(self.low) & np.isfinite(self.high)
+        lo = np.where(bounded, self.low, 0.0)
+        hi = np.where(bounded, self.high, 1.0)
+        u = rng.uniform(lo, hi)
+        g = rng.standard_normal(self.shape) if hasattr(
+            rng, "standard_normal") else rng.randn(*self.shape)
+        return np.where(bounded, u, g).astype(self.dtype)
 
     def contains(self, x):
         x = np.asarray(x)
@@ -102,7 +115,10 @@ class GymCartPole3D:
                              **kw)
 
     def seed(self, seed: int):
+        """Restart the reproducible episode sequence from `seed` — the
+        next reset() matches a fresh env constructed with this seed."""
         self._seed = seed
+        self._episode = 0
 
     def reset(self) -> np.ndarray:
         # A fresh episode: new derived seed per (seed, episode) so repeated
@@ -127,6 +143,8 @@ class GymCartPole3D:
 
     def render(self, mode: str = "rgb_array") -> np.ndarray:
         """RGB frame from camera 0 (reference GUI/getCameraImage parity)."""
+        if self._state is None:
+            raise RuntimeError("call reset() before render()")
         cfg = self._env.render_config
         img = render(self._env.params, self._state.phys, cfg,
                      cfg.cameras[0])

@@ -45,23 +45,19 @@ def pole_com(p: CartPoleParams, phys: PhysState):
 
 
 def pose_frame(p: CartPoleParams, phys: PhysState) -> jax.Array:
-    """One 14-float pose snapshot per env: (..., 14)."""
-    sx, sy = phys.s[..., 0], phys.s[..., 1]
-    w = pole_w(p, sx, sy)
-    qx, qy, qz, qw = pole_quaternion(sx, sy, w)
-    zero = jnp.zeros_like(sx)
-    one = jnp.ones_like(sx)
-    return jnp.stack(
-        [
-            # cart pose: position + identity quaternion (the cart does not
-            # rotate in the reduced-coordinate model; the reference cart's
-            # yaw stays ~0 too since all forces pass through its COM).
-            phys.pos[..., 0], phys.pos[..., 1], phys.pos[..., 2],
-            zero, zero, zero, one,
-        ]
-        + list(jnp.moveaxis(pole_com(p, phys), -1, 0))
-        + [qx, qy, qz, qw],
-        axis=-1)
+    """One 14-float pose snapshot per env: (..., 14).
+
+    Stack-wrapper over env/compute.py::frame_components — the SAME
+    expressions evaluate inside the Pallas kernel's checksum (cart pose +
+    identity quaternion: the cart does not rotate in reduced coordinates;
+    the reference cart's yaw stays ~0 too since forces pass through its
+    COM)."""
+    from .compute import frame_components
+
+    comps = frame_components(p, phys.pos[..., 0], phys.pos[..., 1],
+                             phys.pos[..., 2], phys.s[..., 0],
+                             phys.s[..., 1])
+    return jnp.stack(comps, axis=-1)
 
 
 def stack_obs(frames) -> jax.Array:

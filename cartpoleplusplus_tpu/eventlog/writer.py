@@ -34,10 +34,19 @@ class EventLogWriter:
     """Writes .cpe files; native C++ engine when available."""
 
     def __init__(self, path: str, metadata: dict | None = None,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None, append: bool = False):
+        """append=True continues an existing log (resume) instead of
+        truncating it; the header is only written for a fresh file. The
+        append path always uses the Python writer (the native engine's C
+        ABI is open-for-write only) — the format is byte-identical."""
         self.path = path
-        native = _load_native() if use_native in (None, True) else None
-        if use_native is True and native is None:
+        import os
+
+        appending = append and os.path.exists(path) and \
+            os.path.getsize(path) >= 8
+        native = (None if appending
+                  else _load_native() if use_native in (None, True) else None)
+        if use_native is True and native is None and not appending:
             raise RuntimeError("native event-log engine unavailable")
         self._native = native
         if native is not None:
@@ -47,8 +56,9 @@ class EventLogWriter:
             self._file = None
         else:
             self._handle = None
-            self._file = open(path, "wb")
-            self._file.write(struct.pack("<II", MAGIC, VERSION))
+            self._file = open(path, "ab" if appending else "wb")
+            if not appending:
+                self._file.write(struct.pack("<II", MAGIC, VERSION))
         if metadata is not None:
             self.write_metadata(metadata)
 
@@ -80,6 +90,8 @@ class EventLogWriter:
         reward (T,) f32; done (T,) bool/u8; frames optional (T, F) u8.
         """
         state = np.ascontiguousarray(state, np.float32)
+        if state.ndim > 2:  # e.g. (T, H, W, C) pixel obs -> flat rows
+            state = state.reshape(state.shape[0], -1)
         action = np.ascontiguousarray(action, np.float32)
         if action.ndim == 1:
             action = action[:, None]

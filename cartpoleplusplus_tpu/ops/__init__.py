@@ -14,7 +14,8 @@ def best_rollout(env, num_steps: int):
     """Returns (jitted rollout fn state->(state, checksum), impl name)."""
     if (jax.default_backend() == "tpu"
             and env.num_envs % 1024 == 0
-            and env.obs_mode == "pose_stack"):
+            and env.obs_mode == "pose_stack"
+            and env.auto_reset):  # the kernel hard-codes masked auto-reset
         try:
             return pallas_rollout(env, num_steps), "pallas_fused"
         except Exception:  # pragma: no cover - fall back on lowering issues

@@ -32,18 +32,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..env.cartpole import (
-    _TAG_PUSH_ANGLE,
-    _TAG_PUSH_GATE,
-    _TAG_PUSH_MAG,
-    _TAG_RESET_ANGLE,
-    _TAG_RESET_MAG,
-    EnvState,
+from ..env.cartpole import EnvState
+from ..env.compute import (
+    frame_sum,
+    push_xy,
+    reset_components,
+    reward_components,
+    termination_components,
 )
 from ..physics import CartPoleParams
 from ..physics.dynamics import substep_components
 from ..utils.prng import hash_words, uniform
-from ..utils.quaternion import pole_quaternion
 
 _TAG_BENCH_ACTION = 0x31
 
@@ -67,50 +66,7 @@ def bench_action_force(p: CartPoleParams, env_seed, t):
     return ax * p.action_force, ay * p.action_force
 
 
-def reset_components(p: CartPoleParams, env_seed, episode):
-    """Fresh-episode state components — the componentwise twin of
-    env.cartpole._reset_phys (rest pose + exact push-impulse response)."""
-    ang = uniform(0.0, 2.0 * jnp.pi, env_seed, episode, _TAG_RESET_ANGLE)
-    mag = uniform(0.2, 1.0, env_seed, episode, _TAG_RESET_MAG) \
-        * p.initial_push_force
-    tau = p.initial_push_duration
-    jx = mag * jnp.cos(ang) * tau
-    jy = mag * jnp.sin(ang) * tau
-    mt, jc, kg, l = p.total_mass, p.coupling, p.pole_gen_inertia, p.half_length
-    det = mt * kg - jc * jc
-    dv_x = (kg - jc * l) * jx / det
-    dsd_x = (mt * l - jc) * jx / det
-    dv_y = (kg - jc * l) * jy / det
-    dsd_y = (mt * l - jc) * jy / det
-    zero = jnp.zeros_like(jx)
-    z0 = jnp.full_like(jx, p.cart_rest_z - p.rest_penetration)
-    return (zero, zero, z0, dv_x, dv_y, zero, zero, zero, dsd_x, dsd_y)
 
-
-def push_components(p: CartPoleParams, env_seed, episode, steps, r):
-    """Mid-episode push force — twin of env.cartpole.push_randomness."""
-    gate = uniform(0.0, 1.0, env_seed, episode, steps, r, _TAG_PUSH_GATE)
-    ang = uniform(0.0, 2.0 * jnp.pi, env_seed, episode, steps, r,
-                  _TAG_PUSH_ANGLE)
-    mag = uniform(0.0, 1.0, env_seed, episode, steps, r, _TAG_PUSH_MAG) \
-        * p.push_force
-    on = jnp.where(gate < p.push_prob_per_repeat, 1.0, 0.0)
-    return on * mag * jnp.cos(ang), on * mag * jnp.sin(ang)
-
-
-def frame_sum(p: CartPoleParams, x, y, z, sx, sy):
-    """Sum of all 14 pose-frame components (obs assembly, reduced).
-
-    Forces the full observation computation (pole COM + quaternion) while
-    reducing on the fly — materializing 42 floats/env/step at 30M+
-    steps/s would measure HBM bandwidth, not the engine.
-    """
-    w2 = 1.0 - sx * sx - sy * sy
-    w = jnp.sqrt(jnp.maximum(w2, p.w_min * p.w_min))
-    qx, qy, qz, qw = pole_quaternion(sx, sy, w)
-    l = p.half_length
-    pole = (x + l * sx) + (y + l * sy) + (z + p.pivot_height + l * w)
-    return x + y + z + 1.0 + pole + qx + qy + qz + qw
 
 
 def _env_step_components(p: CartPoleParams, state, t):
@@ -122,7 +78,7 @@ def _env_step_components(p: CartPoleParams, state, t):
     obs_acc = jnp.zeros_like(x)
     for r in range(p.action_repeats):
         if p.push_prob_per_repeat > 0.0:
-            px, py = push_components(p, seed, episode, steps, r)
+            px, py = push_xy(p, seed, episode, steps, r)
         else:
             px = py = jnp.zeros_like(x)
         for _ in range(p.steps_per_repeat):
@@ -131,17 +87,9 @@ def _env_step_components(p: CartPoleParams, state, t):
         obs_acc = obs_acc + frame_sum(p, x, y, z, sx, sy)
 
     steps = steps + 1
-    s2 = sx * sx + sy * sy
-    done_phys = (s2 > p.tilt_s2_limit) | (jnp.abs(x) > p.pos_limit) | (
-        jnp.abs(y) > p.pos_limit)
-    done = done_phys | (steps >= p.max_episode_steps)
-    if not p.reward_shaped:
-        reward = jnp.where(done_phys, 0.0, 1.0)
-    else:
-        d2 = x * x + y * y
-        shaped = (1.0 - 0.5 * s2 / p.tilt_s2_limit
-                  - 0.5 * d2 / (p.pos_limit * p.pos_limit))
-        reward = jnp.where(done_phys, 0.0, jnp.maximum(shaped, 0.0))
+    done_phys, too_long = termination_components(p, x, y, sx, sy, steps)
+    done = done_phys | too_long
+    reward = reward_components(p, x, y, sx, sy, done_phys)
 
     episode = episode + done.astype(jnp.int32)
     fresh = reset_components(p, seed, episode)

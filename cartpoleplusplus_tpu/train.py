@@ -56,11 +56,18 @@ def build(run: RunConfig, args: argparse.Namespace):
     """(env, agent) from parsed configuration."""
     _, cfg_cls, kind = _AGENTS[run.agent]
     params = from_args(CartPoleParams, args, prefix="env.")
-    if kind == "continuous" and params.discrete_actions:
-        # Agents that need the continuous variant get its preset unless
-        # the user overrode the env flags explicitly.
-        params = continuous_params() if params == CartPoleParams() else \
-            params.replace(discrete_actions=False)
+    if kind == "continuous":
+        # Continuous agents default to the config-3 preset (continuous
+        # actions + shaped reward + pushes). Fields the user left at the
+        # plain default are lifted to the preset value; explicit overrides
+        # (any flag value differing from the plain default) are kept.
+        plain, preset = CartPoleParams(), continuous_params()
+        merged = {
+            f.name: (getattr(params, f.name)
+                     if getattr(params, f.name) != getattr(plain, f.name)
+                     else getattr(preset, f.name))
+            for f in dataclasses.fields(CartPoleParams)}
+        params = CartPoleParams(**merged)
     env = CartPole3D(params, num_envs=run.num_envs, obs_mode=run.obs_mode)
     if run.agent == "random":
         return env, RandomAgent(env)
@@ -90,17 +97,8 @@ def main(argv=None) -> int:
         from .dist import make_mesh, shard_agent_state
         state = shard_agent_state(state, make_mesh())
 
-    sink = None
-    if run.event_log:
-        from .eventlog import EpisodeSink, EventLogWriter
-        writer = EventLogWriter(run.event_log, metadata={
-            "run": dataclasses.asdict(run),
-            "env": dataclasses.asdict(env.params)})
-        sink = EpisodeSink(writer, run.num_envs)
-
-    step = agent.make_train_step(capture=sink is not None)
-
     mgr = None
+    start_call = 0
     if run.ckpt_dir:
         from .ckpt import CheckpointManager
         mgr = CheckpointManager(run.ckpt_dir,
@@ -108,7 +106,25 @@ def main(argv=None) -> int:
         latest = mgr.latest_step()
         if latest is not None:
             state = mgr.restore(state, latest)
+            # Resume where the run left off: the checkpoint step IS the
+            # train-call index, so the loop continues at latest + 1 (and
+            # orbax's skip-older-steps save policy lines up).
+            start_call = latest + 1
             print(f"resumed from step {latest}", file=sys.stderr)
+
+    sink = None
+    if run.event_log:
+        import os as _os
+
+        from .eventlog import EpisodeSink, EventLogWriter
+        writer = EventLogWriter(
+            run.event_log,
+            metadata={"run": dataclasses.asdict(run),
+                      "env": dataclasses.asdict(env.params)},
+            append=start_call > 0 and _os.path.exists(run.event_log))
+        sink = EpisodeSink(writer, run.num_envs)
+
+    step = agent.make_train_step(capture=sink is not None)
 
     if run.profile_dir:
         jax.profiler.start_trace(run.profile_dir)
@@ -116,7 +132,7 @@ def main(argv=None) -> int:
     steps_per_call = agent.cfg.rollout_steps
     n_calls = max(run.total_env_steps // steps_per_call, 1)
     t0 = time.perf_counter()
-    for i in range(n_calls):
+    for i in range(start_call, n_calls):
         state, metrics = step(state)
         if sink is not None:
             obs_t, act_t, rew_t, done_t = metrics.pop("traj")
@@ -126,7 +142,7 @@ def main(argv=None) -> int:
             mgr.save(i, state)
         if (i + 1) % run.log_interval == 0 or i == n_calls - 1:
             m = {k: float(np.asarray(v)) for k, v in metrics.items()}
-            rate = (run.num_envs * steps_per_call * (i + 1)
+            rate = (run.num_envs * steps_per_call * (i + 1 - start_call)
                     / (time.perf_counter() - t0))
             m["env_steps_per_sec"] = round(rate)
             m["train_step"] = i + 1

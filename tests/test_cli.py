@@ -69,8 +69,21 @@ def test_train_main_dqn_with_ckpt_and_eventlog(tmp_path, capsys):
     assert validate(str(log)) >= 1
     chunks = [r for k, r in read_records(str(log)) if k == "chunk"]
     assert sum(len(c["reward"]) for c in chunks) == 8 * 8
-    # Resume path: a second invocation restores from the checkpoint.
+    # Resume path: a second invocation restores from the checkpoint and
+    # continues AFTER the last trained call — a completed run does no
+    # extra work and must not truncate the existing event log.
+    n_before = validate(str(log))
     assert main(argv) == 0
     err_or_out = capsys.readouterr()
     # (resume message goes to stderr)
     assert "resumed from step" in err_or_out.err
+    assert err_or_out.out.strip() == ""  # no re-training of finished calls
+    assert validate(str(log)) >= n_before  # append mode, not truncation
+    # A raised budget resumes and trains only the remaining calls.
+    argv2 = list(argv)
+    i = argv2.index("--total-env-steps")
+    argv2[i + 1] = "16"
+    assert main(argv2) == 0
+    out2 = capsys.readouterr()
+    lines2 = [json.loads(l) for l in out2.out.splitlines()]
+    assert lines2 and lines2[-1]["env_steps"] == 16.0
