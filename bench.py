@@ -12,6 +12,19 @@ import sys
 
 
 def main():
+    # Persistent compilation cache: the fused-kernel compile is minutes over
+    # the TPU tunnel; caching makes repeated bench invocations start fast.
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
     # Large step count amortizes the ~15-50 ms tunnel round-trip so the
     # reported rate reflects the engine, not dispatch latency.
