@@ -1,0 +1,52 @@
+"""Shared actor-learner building blocks (DDPG / DQN / NAF / LRPG).
+
+The fused train_step of every replay agent has the same skeleton —
+rollout scan, replay insert, warmup-gated K-update scan — factored here so
+the per-agent files contain only their algorithm (losses, action
+selection, target updates).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def as_key(key):
+    """Accept an int seed or a PRNG key."""
+    return jax.random.PRNGKey(key) if isinstance(key, int) else key
+
+
+def run_rollout(env, act_fn, env_state, obs, keys):
+    """Scan `len(keys)` env-steps with `act_fn(obs, key) -> action`.
+
+    Returns (env_state, obs, traj) with traj = time-major
+    (obs, action, reward, done). The reference's per-step Python agent
+    loop, as one scan.
+    """
+
+    def body(carry, key):
+        st, o = carry
+        action = act_fn(o, key)
+        st, o_next, reward, done, _ = env.step(st, action)
+        return (st, o_next), (o, action, reward, done)
+
+    (env_state, obs), traj = jax.lax.scan(body, (env_state, obs), keys)
+    return env_state, obs, traj
+
+
+def gated_update_scan(st, upd_body, num_updates: int, ready,
+                     zero_metrics):
+    """Warmup-gated learner phase: split st.rng, scan `upd_body(state,
+    key)` over `num_updates` keys and average its metrics — or skip
+    entirely (returning `zero_metrics`) until `ready` (replay warmup).
+    st must carry a `rng` field."""
+
+    def do(s):
+        rng, k = jax.random.split(s.rng)
+        s, metrics = jax.lax.scan(
+            upd_body, s._replace(rng=rng),
+            jax.random.split(k, num_updates))
+        return s, jax.tree.map(jnp.mean, metrics)
+
+    return jax.lax.cond(ready, do, lambda s: (s, zero_metrics), st)

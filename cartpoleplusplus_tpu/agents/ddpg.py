@@ -36,6 +36,7 @@ import optax
 
 from ..env import CartPole3D
 from ..models import ActorMLP, CriticMLP, VisualActor, VisualCritic, polyak
+from .common import as_key, gated_update_scan
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -106,8 +107,7 @@ class DDPG:
 
     # --- init ---------------------------------------------------------------
     def init(self, key) -> DDPGState:
-        k_actor, k_critic, k_env, k_run = jax.random.split(
-            jax.random.PRNGKey(key) if isinstance(key, int) else key, 4)
+        k_actor, k_critic, k_env, k_run = jax.random.split(as_key(key), 4)
         obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         act0 = jnp.zeros((1, self.env.action_dim), jnp.float32)
         actor = self.actor_net.init(k_actor, obs0)
@@ -213,22 +213,11 @@ class DDPG:
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
                          noise=noise, rng=rng, env_steps=env_steps)
 
-        def upd_body(carry, key):
-            return self._update_once(carry, key)
-
-        def do_updates(s):
-            rng, k_upd = jax.random.split(s.rng)
-            s, metrics = jax.lax.scan(
-                upd_body, s._replace(rng=rng),
-                jax.random.split(k_upd, c.updates_per_step))
-            return s, jax.tree.map(jnp.mean, metrics)
-
-        def skip_updates(s):
-            return s, {"critic_loss": jnp.float32(0.0),
-                       "actor_loss": jnp.float32(0.0)}
-
-        st, losses = jax.lax.cond(
-            env_steps >= c.warmup_env_steps, do_updates, skip_updates, st)
+        st, losses = gated_update_scan(
+            st, self._update_once, c.updates_per_step,
+            env_steps >= c.warmup_env_steps,
+            {"critic_loss": jnp.float32(0.0),
+             "actor_loss": jnp.float32(0.0)})
 
         metrics = dict(losses)
         if capture:

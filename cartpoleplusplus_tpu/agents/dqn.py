@@ -22,6 +22,7 @@ import optax
 
 from ..env import CartPole3D
 from ..models import QNetMLP, VisualQNet, polyak
+from .common import as_key, gated_update_scan, run_rollout
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -75,8 +76,7 @@ class DQN:
         self.tx = optax.adam(config.lr)
 
     def init(self, key) -> DQNState:
-        k_q, k_env, k_run = jax.random.split(
-            jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
+        k_q, k_env, k_run = jax.random.split(as_key(key), 3)
         obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         q = self.q_net.init(k_q, obs0)
         env_state, obs = self.env.reset(k_env)
@@ -119,16 +119,9 @@ class DQN:
         rng, k_roll = jax.random.split(st.rng)
         eps = self.epsilon(st.env_steps)
 
-        def env_body(carry, key):
-            env_state, obs = carry
-            action = self.act(st.q, obs, key, eps)
-            env_state, next_obs, reward, done, _ = self.env.step(
-                env_state, action)
-            return (env_state, next_obs), (obs, action, reward, done)
-
-        (env_state, obs), traj = jax.lax.scan(
-            env_body, (st.env_state, st.obs),
-            jax.random.split(k_roll, c.rollout_steps))
+        env_state, obs, traj = run_rollout(
+            self.env, lambda o, k: self.act(st.q, o, k, eps),
+            st.env_state, st.obs, jax.random.split(k_roll, c.rollout_steps))
         replay = self.replay.add_trajectory(st.replay, *traj)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
@@ -144,16 +137,9 @@ class DQN:
                            q_target=polyak(s.q_target, q, c.tau))
             return s, loss
 
-        def do_updates(s):
-            rng, k_upd = jax.random.split(s.rng)
-            s, losses = jax.lax.scan(
-                upd_body, s._replace(rng=rng),
-                jax.random.split(k_upd, c.updates_per_step))
-            return s, jnp.mean(losses)
-
-        st, loss = jax.lax.cond(
-            env_steps >= c.warmup_env_steps, do_updates,
-            lambda s: (s, jnp.float32(0.0)), st)
+        st, loss = gated_update_scan(
+            st, upd_body, c.updates_per_step,
+            env_steps >= c.warmup_env_steps, jnp.float32(0.0))
 
         metrics_extra = {"traj": traj} if capture else {}
         return st, {

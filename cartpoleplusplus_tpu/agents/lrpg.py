@@ -24,6 +24,7 @@ import optax
 
 from ..env import CartPole3D
 from ..models import PolicyMLP
+from .common import as_key, run_rollout
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,8 +73,7 @@ class LRPG:
         self.tx = optax.adam(config.lr)
 
     def init(self, key) -> LRPGState:
-        k_net, k_env, k_run = jax.random.split(
-            jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
+        k_net, k_env, k_run = jax.random.split(as_key(key), 3)
         obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         params = self.net.init(k_net, obs0)
         env_state, obs = self.env.reset(k_env)
@@ -98,16 +98,9 @@ class LRPG:
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
 
-        def env_body(carry, key):
-            env_state, obs = carry
-            action = self.act(st.params, obs, key)
-            env_state, next_obs, reward, done, _ = self.env.step(
-                env_state, action)
-            return (env_state, next_obs), (obs, action, reward, done)
-
-        (env_state, obs), (obs_t, act_t, rew_t, done_t) = jax.lax.scan(
-            env_body, (st.env_state, st.obs),
-            jax.random.split(k_roll, c.rollout_steps))
+        env_state, obs, (obs_t, act_t, rew_t, done_t) = run_rollout(
+            self.env, lambda o, k: self.act(st.params, o, k),
+            st.env_state, st.obs, jax.random.split(k_roll, c.rollout_steps))
 
         # Bootstrap the cut-off tail with the baseline (bias-variance
         # trade-off for the fixed window; exact at episode boundaries).

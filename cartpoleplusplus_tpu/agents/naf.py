@@ -21,6 +21,7 @@ import optax
 
 from ..env import CartPole3D
 from ..models import NafNet, polyak
+from .common import as_key, gated_update_scan, run_rollout
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -66,8 +67,7 @@ class NAF:
         self.tx = optax.adam(config.lr)
 
     def init(self, key) -> NAFState:
-        k_net, k_env, k_run = jax.random.split(
-            jax.random.PRNGKey(key) if isinstance(key, int) else key, 3)
+        k_net, k_env, k_run = jax.random.split(as_key(key), 3)
         obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         act0 = jnp.zeros((1, self.env.action_dim), jnp.float32)
         params = self.net.init(k_net, obs0, act0)
@@ -97,16 +97,9 @@ class NAF:
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
 
-        def env_body(carry, key):
-            env_state, obs = carry
-            action = self.act(st.params, obs, key)
-            env_state, next_obs, reward, done, _ = self.env.step(
-                env_state, action)
-            return (env_state, next_obs), (obs, action, reward, done)
-
-        (env_state, obs), traj = jax.lax.scan(
-            env_body, (st.env_state, st.obs),
-            jax.random.split(k_roll, c.rollout_steps))
+        env_state, obs, traj = run_rollout(
+            self.env, lambda o, k: self.act(st.params, o, k),
+            st.env_state, st.obs, jax.random.split(k_roll, c.rollout_steps))
         replay = self.replay.add_trajectory(st.replay, *traj)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
@@ -122,16 +115,9 @@ class NAF:
                            target=polyak(s.target, params, c.tau))
             return s, loss
 
-        def do_updates(s):
-            rng, k_upd = jax.random.split(s.rng)
-            s, losses = jax.lax.scan(
-                upd_body, s._replace(rng=rng),
-                jax.random.split(k_upd, c.updates_per_step))
-            return s, jnp.mean(losses)
-
-        st, loss = jax.lax.cond(
-            env_steps >= c.warmup_env_steps, do_updates,
-            lambda s: (s, jnp.float32(0.0)), st)
+        st, loss = gated_update_scan(
+            st, upd_body, c.updates_per_step,
+            env_steps >= c.warmup_env_steps, jnp.float32(0.0))
 
         metrics_extra = {"traj": traj} if capture else {}
         return st, {

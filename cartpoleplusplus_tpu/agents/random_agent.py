@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..env import CartPole3D
+from .common import as_key
 
 
 class RandomAgent:
@@ -29,8 +30,7 @@ class RandomAgent:
     def evaluate(self, key, num_steps: int = 200):
         """Run `num_steps` random steps over the full batch; returns
         per-step mean reward and episode statistics (all on device)."""
-        k_env, k_pol = jax.random.split(
-            jax.random.PRNGKey(key) if isinstance(key, int) else key)
+        k_env, k_pol = jax.random.split(as_key(key))
         state, _ = self.env.reset(k_env)
         state, (obs, action, reward, done) = self.env.rollout(
             state, self.policy, num_steps, policy_key=k_pol)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..physics import CartPoleParams
+from ..physics.dynamics import pole_w
 from ..utils.prng import uniform
 from ..utils.quaternion import pole_quaternion
 
@@ -85,8 +86,7 @@ def frame_components(p: CartPoleParams, x, y, z, sx, sy):
     """The 14 pose-frame components (cart pos3 + identity quat4, pole COM
     pos3 + quat4, pybullet (x,y,z,w) order) — the reference's
     `getBasePositionAndOrientation` snapshot per repeat."""
-    w2 = 1.0 - sx * sx - sy * sy
-    w = jnp.sqrt(jnp.maximum(w2, p.w_min * p.w_min))
+    w = pole_w(p, sx, sy)
     qx, qy, qz, qw = pole_quaternion(sx, sy, w)
     zero = jnp.zeros_like(sx)
     one = jnp.ones_like(sx)

@@ -15,7 +15,6 @@ stand-ins with the same attributes (n / low, high, shape) and `sample()`.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 import jax
 import numpy as np
@@ -153,7 +152,3 @@ class GymCartPole3D:
     def close(self):
         pass
 
-
-def dataclass_defaults(cls=CartPoleParams) -> dict:
-    """Flag-name -> default map (handy for sweep tooling)."""
-    return {f.name: f.default for f in dataclasses.fields(cls)}

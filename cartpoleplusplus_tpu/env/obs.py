@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..physics import CartPoleParams, PhysState, pole_w
-from ..utils.quaternion import pole_quaternion
+from .compute import frame_components
 
 OBS_MODES = ("pose_stack", "state", "pixels")
 
@@ -52,8 +52,6 @@ def pose_frame(p: CartPoleParams, phys: PhysState) -> jax.Array:
     identity quaternion: the cart does not rotate in reduced coordinates;
     the reference cart's yaw stays ~0 too since forces pass through its
     COM)."""
-    from .compute import frame_components
-
     comps = frame_components(p, phys.pos[..., 0], phys.pos[..., 1],
                              phys.pos[..., 2], phys.s[..., 0],
                              phys.s[..., 1])

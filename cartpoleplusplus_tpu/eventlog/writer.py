@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import ctypes
 import json
+import os
 import struct
 import zlib
 
@@ -40,8 +41,6 @@ class EventLogWriter:
         append path always uses the Python writer (the native engine's C
         ABI is open-for-write only) — the format is byte-identical."""
         self.path = path
-        import os
-
         appending = append and os.path.exists(path) and \
             os.path.getsize(path) >= 8
         native = (None if appending

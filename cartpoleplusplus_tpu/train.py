@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -114,14 +115,12 @@ def main(argv=None) -> int:
 
     sink = None
     if run.event_log:
-        import os as _os
-
         from .eventlog import EpisodeSink, EventLogWriter
         writer = EventLogWriter(
             run.event_log,
             metadata={"run": dataclasses.asdict(run),
                       "env": dataclasses.asdict(env.params)},
-            append=start_call > 0 and _os.path.exists(run.event_log))
+            append=start_call > 0 and os.path.exists(run.event_log))
         sink = EpisodeSink(writer, run.num_envs)
 
     step = agent.make_train_step(capture=sink is not None)

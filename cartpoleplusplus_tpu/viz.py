@@ -69,8 +69,7 @@ def main(argv=None) -> int:
     cfg = RenderConfig(width=args.width, height=args.height, cameras=(cam,))
     state, _ = jax.jit(env.reset)(args.seed)
     step = jax.jit(env.step)
-    frame_fn = jax.jit(lambda ph: render(params, ph, cfg, cam),
-                       static_argnums=())
+    frame_fn = jax.jit(lambda ph: render(params, ph, cfg, cam))
 
     os.makedirs(args.out, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
