@@ -82,3 +82,17 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_scaling_report_runs():
+    """The weak-scaling harness executes on the virtual mesh (rates are
+    meaningless on CPU; this validates the measurement path itself)."""
+    from cartpoleplusplus_tpu.dist import scaling_report
+
+    def make_env(num_envs_scale):
+        return CartPole3D(CartPoleParams(), num_envs=16 * num_envs_scale)
+
+    rep = scaling_report(make_env, num_steps=4)
+    assert rep["devices"] == len(jax.devices())
+    assert rep["rate_1dev"] > 0 and rep["rate_ndev"] > 0
+    assert rep["efficiency"] > 0
