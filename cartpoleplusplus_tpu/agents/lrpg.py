@@ -30,11 +30,11 @@ from .common import as_key, run_rollout
 @dataclasses.dataclass(frozen=True)
 class LRPGConfig:
     hidden: tuple = (64, 64)
-    lr: float = 1e-3
+    lr: float = 3e-4
     gamma: float = 0.99
     rollout_steps: int = 32          # env-steps per update window
     baseline_rate: float = 0.05      # EMA rate for the scalar return baseline
-    entropy_coef: float = 0.001
+    entropy_coef: float = 0.1   # strong: prevents softmax collapse (see _loss)
     dtype: str = "float32"
 
 
@@ -108,7 +108,12 @@ class LRPG:
                           jnp.full((self.env.num_envs,), st.baseline))
         baseline = ((1.0 - c.baseline_rate) * st.baseline
                     + c.baseline_rate * jnp.mean(g))
+        # Center on the WINDOW mean, not only the (lagging) EMA baseline:
+        # an uncentered positive advantage reinforces every sampled action,
+        # which collapses the softmax onto the initially-likeliest action
+        # within a few updates (rich-get-richer; observed empirically).
         adv = g - baseline
+        adv = adv - jnp.mean(adv)
         adv = adv / (jnp.std(adv) + 1e-6)
 
         loss, grad = jax.value_and_grad(self._loss)(
