@@ -63,3 +63,63 @@ def test_two_process_mesh_rollout(tmp_path):
         assert lines, out[-2000:]
         totals.append(float(lines[0].split()[1]))
     assert totals[0] == totals[1] > 0
+
+
+_DDPG_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+rank = int(sys.argv[1])
+port = sys.argv[2]
+sys.path.insert(0, {repo!r})
+from cartpoleplusplus_tpu.dist import (initialize_multihost, make_mesh,
+                                       make_distributed_train_step,
+                                       shard_agent_state)
+initialize_multihost(f"localhost:{{port}}".format(port=port),
+                     num_processes=2, process_id=rank)
+import numpy as np
+from cartpoleplusplus_tpu import CartPole3D
+from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
+from cartpoleplusplus_tpu.physics.params import continuous_params
+
+env = CartPole3D(continuous_params(), num_envs=16)
+agent = DDPG(env, DDPGConfig(hidden=(16,), rollout_steps=2,
+                             updates_per_step=1, batch_size=16,
+                             replay_capacity_per_env=16,
+                             warmup_env_steps=0))
+mesh = make_mesh()
+state = shard_agent_state(agent.init(0), mesh)
+step = make_distributed_train_step(agent, mesh)
+for _ in range(2):
+    state, metrics = step(state)
+# Params are replicated: every process holds the same post-update copy.
+leaf = jax.tree.leaves(state.actor)[0]
+s = float(np.abs(np.asarray(leaf.addressable_data(0))).sum())
+print("PARAMSUM", round(s, 6), "LOSS",
+      round(float(metrics["critic_loss"]), 6), flush=True)
+"""
+
+
+def test_two_process_ddpg_train_step(tmp_path):
+    """BASELINE config 5 at runtime level: a sharded DDPG actor-learner
+    step across 2 JAX processes — gradients psum across process-local
+    devices; both ranks end with identical replicated parameters."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "ddpg_worker.py"
+    script.write_text(_DDPG_WORKER.replace("{repo!r}", repr(repo)))
+    port = "23467"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(rank), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for rank in range(2)]
+    results = []
+    for p in procs:
+        out, _ = p.communicate(timeout=280)
+        assert p.returncode == 0, out[-2000:]
+        line = [l for l in out.splitlines() if l.startswith("PARAMSUM")]
+        assert line, out[-2000:]
+        results.append(line[0])
+    assert results[0] == results[1]
