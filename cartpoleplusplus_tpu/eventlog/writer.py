@@ -201,8 +201,13 @@ class EpisodeSink:
     call per fused step.
     """
 
-    def __init__(self, writer: EventLogWriter, num_envs: int):
+    def __init__(self, writer: EventLogWriter, num_envs: int,
+                 obs_as_frames: bool = False):
+        """obs_as_frames=True stores [0,1]-float image observations in the
+        uint8 `frames` field (4x smaller than f32 state; the reference
+        likewise logged rendered frames separately from poses)."""
         self.writer = writer
+        self.obs_as_frames = obs_as_frames
         self.episode_ids = np.zeros(num_envs, np.int64)
 
     def add_rollout(self, state, action, reward, done, frames=None):
@@ -211,6 +216,9 @@ class EpisodeSink:
         reward = np.asarray(reward)
         done = np.asarray(done, bool)
         t, b = reward.shape
+        if self.obs_as_frames and frames is None:
+            frames = np.clip(state * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            state = np.zeros((t, b, 0), np.float32)
         for env in range(b):
             bounds = np.flatnonzero(done[:, env])
             start = 0

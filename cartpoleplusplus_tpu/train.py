@@ -121,7 +121,8 @@ def main(argv=None) -> int:
             metadata={"run": dataclasses.asdict(run),
                       "env": dataclasses.asdict(env.params)},
             append=start_call > 0 and os.path.exists(run.event_log))
-        sink = EpisodeSink(writer, run.num_envs)
+        sink = EpisodeSink(writer, run.num_envs,
+                           obs_as_frames=env.obs_mode == "pixels")
 
     step = agent.make_train_step(capture=sink is not None)
 

@@ -126,3 +126,22 @@ def test_trace_real_rollout(tmp_path):
     np.testing.assert_allclose(total_logged, float(jnp.sum(reward)),
                                rtol=1e-6)
     assert validate(str(p)) >= 1
+
+
+def test_sink_pixel_obs_stored_as_frames(tmp_path):
+    """obs_as_frames: image observations land in the uint8 frames field
+    (4x smaller than f32 state); the reader returns them losslessly to
+    1/255."""
+    p = tmp_path / "px.cpe"
+    w = EventLogWriter(str(p), use_native=False)
+    sink = EpisodeSink(w, num_envs=2, obs_as_frames=True)
+    rng = np.random.RandomState(0)
+    obs = rng.rand(3, 2, 4, 4, 3).astype(np.float32)  # (T,B,H,W,C)
+    sink.add_rollout(obs, np.zeros((3, 2, 2), np.float32),
+                     np.ones((3, 2), np.float32), np.zeros((3, 2), bool))
+    w.close()
+    chunks = [r for k, r in read_records(str(p)) if k == "chunk"]
+    assert chunks[0]["state"].shape[1] == 0        # no f32 state stored
+    assert chunks[0]["frames"].dtype == np.uint8
+    got = chunks[0]["frames"].reshape(3, 4, 4, 3).astype(np.float32) / 255.0
+    np.testing.assert_allclose(got, obs[:, 0], atol=1 / 255.0 + 1e-6)
