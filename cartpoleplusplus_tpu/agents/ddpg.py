@@ -77,12 +77,20 @@ class DDPGState(NamedTuple):
 class DDPG:
     """Pure-function DDPG agent over a batched CartPole3D."""
 
-    def __init__(self, env: CartPole3D, config: DDPGConfig = DDPGConfig()):
+    def __init__(self, env: CartPole3D, config: DDPGConfig = DDPGConfig(),
+                 dist_axis: str | None = None, num_shards: int = 1):
+        """dist_axis / num_shards: set when train_step runs inside
+        shard_map over `num_shards` devices (dist/shardmap.py) — env must
+        then be the PER-SHARD env, gradients pmean over the axis, each
+        shard samples batch_size/num_shards locally, and per-shard PRNG
+        streams decorrelate via axis_index."""
         if env.params.discrete_actions:
             raise ValueError("DDPG needs the continuous env "
                              "(CartPoleParams(discrete_actions=False))")
         self.env = env
         self.cfg = config
+        self.dist_axis = dist_axis
+        self.num_shards = num_shards
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         pixels = env.obs_mode == "pixels"
         if pixels:
@@ -129,6 +137,11 @@ class DDPG:
             env_steps=jnp.int32(0),
         )
 
+    @property
+    def local_batch_size(self) -> int:
+        """Per-shard learner minibatch (cfg.batch_size is GLOBAL)."""
+        return max(self.cfg.batch_size // self.num_shards, 1)
+
     # --- acting -------------------------------------------------------------
     def act(self, actor_params, obs, noise=None):
         """Deterministic action, plus OU exploration noise if given."""
@@ -167,14 +180,23 @@ class DDPG:
 
     def _update_once(self, st: DDPGState, key) -> tuple[DDPGState, dict]:
         c = self.cfg
-        batch = self.replay.sample(st.replay, key, c.batch_size)
+        if self.dist_axis is not None:
+            # Chip-local minibatch (decorrelated key); the pmean below is
+            # then the ONLY cross-chip traffic of the whole update.
+            key = jax.random.fold_in(key, jax.lax.axis_index(self.dist_axis))
+        batch = self.replay.sample(st.replay, key,
+                                   self.local_batch_size)
         closs, cgrad = jax.value_and_grad(self._critic_loss)(
             st.critic, st.actor_target, st.critic_target, batch)
+        if self.dist_axis is not None:
+            closs, cgrad = jax.lax.pmean((closs, cgrad), self.dist_axis)
         cupd, copt = self.critic_tx.update(cgrad, st.critic_opt, st.critic)
         critic = optax.apply_updates(st.critic, cupd)
 
         aloss, agrad = jax.value_and_grad(self._actor_loss)(
             st.actor, critic, batch[0])
+        if self.dist_axis is not None:
+            aloss, agrad = jax.lax.pmean((aloss, agrad), self.dist_axis)
         aupd, aopt = self.actor_tx.update(agrad, st.actor_opt, st.actor)
         actor = optax.apply_updates(st.actor, aupd)
 
@@ -191,6 +213,11 @@ class DDPG:
         gradient updates, as one jit-able program."""
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
+        if self.dist_axis is not None:
+            # Decorrelate exploration noise across shards (rng itself must
+            # stay replicated so parameter updates remain identical).
+            k_roll = jax.random.fold_in(
+                k_roll, jax.lax.axis_index(self.dist_axis))
 
         sigma = self._sigma(st.env_steps)
 
@@ -222,8 +249,13 @@ class DDPG:
         metrics = dict(losses)
         if capture:
             metrics["traj"] = traj
-        metrics["reward_mean"] = jnp.mean(traj[2])
-        metrics["done_frac"] = jnp.mean(traj[3].astype(jnp.float32))
+        reward_mean = jnp.mean(traj[2])
+        done_frac = jnp.mean(traj[3].astype(jnp.float32))
+        if self.dist_axis is not None:
+            reward_mean, done_frac = jax.lax.pmean(
+                (reward_mean, done_frac), self.dist_axis)
+        metrics["reward_mean"] = reward_mean
+        metrics["done_frac"] = done_frac
         metrics["env_steps"] = env_steps
         return st, metrics
 

@@ -28,6 +28,7 @@ from .mesh import (
     batch_sharding,
     shard_batch_tree,
 )
+from .shardmap import make_shardmap_train_step, state_partition_specs
 from .train import make_distributed_train_step, shard_agent_state, scaling_report
 
 __all__ = [
@@ -38,6 +39,8 @@ __all__ = [
     "batch_sharding",
     "shard_batch_tree",
     "make_distributed_train_step",
+    "make_shardmap_train_step",
+    "state_partition_specs",
     "shard_agent_state",
     "scaling_report",
 ]

@@ -1,0 +1,89 @@
+"""shard_map actor-learner: chip-local replay sampling, one pmean.
+
+The plain-jit distributed path (dist/train.py) lets the SPMD partitioner
+place every op — correct, but the learner's uniform replay sampling
+gathers minibatch rows across chips each update. This module expresses
+the intended communication pattern explicitly with `shard_map`:
+
+  * each shard rolls out ITS envs and inserts into ITS replay shard
+    (zero communication — the (num_envs, capacity) layout guarantees it),
+  * each shard samples batch_size/num_shards transitions LOCALLY
+    (decorrelated per-shard PRNG via axis_index),
+  * the ONLY collective is one gradient/loss `pmean` per update — the
+    all-reduce that rides ICI in-slice and DCN across slices.
+
+Parameter updates stay identical across shards because every shard
+applies the same pmean'd gradient with the same replicated optimizer
+state (asserted in tests/test_dist.py).
+
+Usage (DDPG, the flagship — other agents follow the same recipe once
+given dist_axis support):
+
+    mesh = make_mesh()
+    env_global = CartPole3D(params, num_envs=B)
+    agent_global = DDPG(env_global, cfg)             # for init only
+    state = shard_agent_state(agent_global.init(0), mesh)
+
+    env_local = CartPole3D(params, num_envs=B // mesh.size)
+    agent_local = DDPG(env_local, cfg, dist_axis=DATA_AXIS,
+                       num_shards=mesh.size)
+    step = make_shardmap_train_step(agent_local, mesh, state)
+    state, metrics = step(state)
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from .mesh import DATA_AXIS
+from .train import _BATCH_FIELDS
+
+
+def state_partition_specs(state, mesh):
+    """PartitionSpec pytree for an agent state: array leaves of batch
+    fields shard on ('data',) along their leading axis; scalar leaves
+    (ring cursors, counters) and non-batch fields replicate — mirroring
+    mesh.shard_batch_tree's placement rule."""
+
+    def leaf_spec(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] > 1 and x.shape[0] % mesh.size == 0:
+            return P(DATA_AXIS)
+        return P()
+
+    specs = {}
+    for name, value in state._asdict().items():
+        if name in _BATCH_FIELDS:
+            specs[name] = jax.tree.map(leaf_spec, value)
+        else:
+            specs[name] = jax.tree.map(lambda _: P(), value)
+    return type(state)(**specs)
+
+
+def make_shardmap_train_step(local_agent, mesh, state_template):
+    """Jitted shard_map train step.
+
+    local_agent: built with the PER-SHARD env (num_envs/mesh.size) and
+    `dist_axis=DATA_AXIS, num_shards=mesh.size`.
+    state_template: a GLOBAL agent state (from the global-size agent's
+    init + shard_agent_state) used to derive partition specs.
+    """
+    if local_agent.dist_axis != DATA_AXIS:
+        raise ValueError("local_agent must be built with dist_axis='data'")
+    if local_agent.num_shards != mesh.size:
+        raise ValueError(f"local_agent.num_shards={local_agent.num_shards} "
+                         f"!= mesh.size={mesh.size}")
+    specs = state_partition_specs(state_template, mesh)
+
+    def step(state):
+        return local_agent.train_step(state)
+
+    body = shard_map(step, mesh=mesh, in_specs=(specs,),
+                     out_specs=(specs, P()), check_vma=False)
+    return jax.jit(body, donate_argnums=(0,))

@@ -96,3 +96,37 @@ def test_scaling_report_runs():
     assert rep["devices"] == len(jax.devices())
     assert rep["rate_1dev"] > 0 and rep["rate_ndev"] > 0
     assert rep["efficiency"] > 0
+
+
+def test_shardmap_ddpg_train_step():
+    """shard_map learner (chip-local sampling + one pmean): runs on the
+    8-device mesh, params stay replicated-identical across shards, and a
+    second step continues from the donated state."""
+    from cartpoleplusplus_tpu.dist import (DATA_AXIS,
+                                           make_shardmap_train_step)
+
+    n = 8
+    mesh = make_mesh(jax.devices()[:n])
+    params = continuous_params()
+    cfg = DDPGConfig(hidden=(16,), rollout_steps=2, updates_per_step=2,
+                     batch_size=64, replay_capacity_per_env=16,
+                     warmup_env_steps=0)
+    env_g = CartPole3D(params, num_envs=8 * n)
+    agent_g = DDPG(env_g, cfg)
+    state = shard_agent_state(agent_g.init(0), mesh)
+
+    env_l = CartPole3D(params, num_envs=8)
+    agent_l = DDPG(env_l, cfg, dist_axis=DATA_AXIS, num_shards=n)
+    assert agent_l.local_batch_size == 8
+    step = make_shardmap_train_step(agent_l, mesh, state)
+    for _ in range(2):
+        state, metrics = step(state)
+    assert np.isfinite(float(metrics["critic_loss"]))
+    assert np.isfinite(float(metrics["reward_mean"]))
+    # Replicated params: every device holds the identical copy.
+    leaf = jax.tree.leaves(state.actor)[0]
+    shards = [np.asarray(leaf.addressable_data(i)) for i in range(n)]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
+    # Env/replay stayed sharded.
+    assert state.obs.sharding.num_devices == n
