@@ -56,11 +56,18 @@ class DQNState(NamedTuple):
 
 
 class DQN:
-    def __init__(self, env: CartPole3D, config: DQNConfig = DQNConfig()):
+    def __init__(self, env: CartPole3D, config: DQNConfig = DQNConfig(),
+                 dist_axis: str | None = None, num_shards: int = 1):
+        """dist_axis / num_shards: set when train_step runs inside
+        shard_map (dist/shardmap.py) with a PER-SHARD env — gradients and
+        metrics pmean over the axis; per-shard PRNG decorrelates via
+        axis_index; each shard samples batch_size/num_shards locally."""
         if not env.params.discrete_actions:
             raise ValueError("DQN needs the discrete env")
         self.env = env
         self.cfg = config
+        self.dist_axis = dist_axis
+        self.num_shards = num_shards
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         pixels = env.obs_mode == "pixels"
         if pixels:
@@ -117,6 +124,9 @@ class DQN:
     def train_step(self, st: DQNState, capture: bool = False) -> tuple[DQNState, dict]:
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
+        if self.dist_axis is not None:
+            k_roll = jax.random.fold_in(
+                k_roll, jax.lax.axis_index(self.dist_axis))
         eps = self.epsilon(st.env_steps)
 
         env_state, obs, traj = run_rollout(
@@ -128,9 +138,15 @@ class DQN:
                          rng=rng, env_steps=env_steps)
 
         def upd_body(s, key):
-            batch = self.replay.sample(s.replay, key, c.batch_size)
+            if self.dist_axis is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(self.dist_axis))
+            batch = self.replay.sample(
+                s.replay, key, max(c.batch_size // self.num_shards, 1))
             loss, grad = jax.value_and_grad(self._loss)(
                 s.q, s.q_target, batch)
+            if self.dist_axis is not None:
+                loss, grad = jax.lax.pmean((loss, grad), self.dist_axis)
             upd, opt = self.tx.update(grad, s.opt, s.q)
             q = optax.apply_updates(s.q, upd)
             s = s._replace(q=q, opt=opt,

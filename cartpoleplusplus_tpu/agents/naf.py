@@ -52,11 +52,18 @@ class NAFState(NamedTuple):
 
 
 class NAF:
-    def __init__(self, env: CartPole3D, config: NAFConfig = NAFConfig()):
+    def __init__(self, env: CartPole3D, config: NAFConfig = NAFConfig(),
+                 dist_axis: str | None = None, num_shards: int = 1):
+        """dist_axis / num_shards: set when train_step runs inside
+        shard_map (dist/shardmap.py) with a PER-SHARD env — gradients and
+        metrics pmean over the axis; per-shard PRNG decorrelates via
+        axis_index; each shard samples batch_size/num_shards locally."""
         if env.params.discrete_actions:
             raise ValueError("NAF needs the continuous env")
         self.env = env
         self.cfg = config
+        self.dist_axis = dist_axis
+        self.num_shards = num_shards
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         self.net = NafNet(action_dim=env.action_dim, hidden=config.hidden,
                           dtype=dtype)
@@ -96,6 +103,9 @@ class NAF:
     def train_step(self, st: NAFState, capture: bool = False) -> tuple[NAFState, dict]:
         c = self.cfg
         rng, k_roll = jax.random.split(st.rng)
+        if self.dist_axis is not None:
+            k_roll = jax.random.fold_in(
+                k_roll, jax.lax.axis_index(self.dist_axis))
 
         env_state, obs, traj = run_rollout(
             self.env, lambda o, k: self.act(st.params, o, k),
@@ -106,9 +116,15 @@ class NAF:
                          rng=rng, env_steps=env_steps)
 
         def upd_body(s, key):
-            batch = self.replay.sample(s.replay, key, c.batch_size)
+            if self.dist_axis is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(self.dist_axis))
+            batch = self.replay.sample(
+                s.replay, key, max(c.batch_size // self.num_shards, 1))
             loss, grad = jax.value_and_grad(self._loss)(
                 s.params, s.target, batch)
+            if self.dist_axis is not None:
+                loss, grad = jax.lax.pmean((loss, grad), self.dist_axis)
             upd, opt = self.tx.update(grad, s.opt, s.params)
             params = optax.apply_updates(s.params, upd)
             s = s._replace(params=params, opt=opt,

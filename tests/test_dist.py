@@ -130,3 +130,33 @@ def test_shardmap_ddpg_train_step():
         np.testing.assert_array_equal(shards[0], sh)
     # Env/replay stayed sharded.
     assert state.obs.sharding.num_devices == n
+
+
+@pytest.mark.parametrize("agent_spec", ["dqn", "naf"])
+def test_shardmap_dqn_naf_train_step(agent_spec):
+    """The shard_map recipe generalizes beyond the flagship: DQN and NAF
+    run with chip-local sampling + pmean'd gradients on the 8-device
+    mesh with replicated-identical parameters."""
+    from cartpoleplusplus_tpu.agents import DQN, DQNConfig, NAF, NAFConfig
+    from cartpoleplusplus_tpu.dist import DATA_AXIS, make_shardmap_train_step
+
+    n = 8
+    mesh = make_mesh(jax.devices()[:n])
+    if agent_spec == "dqn":
+        cls, cfg_cls, params = DQN, DQNConfig, CartPoleParams()
+    else:
+        cls, cfg_cls, params = NAF, NAFConfig, continuous_params()
+    cfg = cfg_cls(hidden=(16,), rollout_steps=2, updates_per_step=1,
+                  batch_size=64, replay_capacity_per_env=16,
+                  warmup_env_steps=0)
+    state = shard_agent_state(
+        cls(CartPole3D(params, num_envs=8 * n), cfg).init(0), mesh)
+    agent_l = cls(CartPole3D(params, num_envs=8), cfg,
+                  dist_axis=DATA_AXIS, num_shards=n)
+    step = make_shardmap_train_step(agent_l, mesh, state)
+    state, metrics = step(state)
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree.leaves(state[0])[0]
+    shards = [np.asarray(leaf.addressable_data(i)) for i in range(n)]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
