@@ -46,6 +46,7 @@ class RunConfig:
     ckpt_interval: int = 100         # train_steps between saves
     event_log: str = ""              # empty = no event log
     use_mesh: bool = True            # shard envs over all local devices
+    learner: str = "spmd"            # spmd (partitioner) | shardmap (explicit)
     profile_dir: str = ""            # empty = no profiler trace
 
 

@@ -94,9 +94,11 @@ def main(argv=None) -> int:
         return 0
 
     state = agent.init(run.seed)
+    mesh = None
     if run.use_mesh and len(jax.devices()) > 1:
         from .dist import make_mesh, shard_agent_state
-        state = shard_agent_state(state, make_mesh())
+        mesh = make_mesh()
+        state = shard_agent_state(state, mesh)
 
     mgr = None
     start_call = 0
@@ -124,7 +126,26 @@ def main(argv=None) -> int:
         sink = EpisodeSink(writer, run.num_envs,
                            obs_as_frames=env.obs_mode == "pixels")
 
-    step = agent.make_train_step(capture=sink is not None)
+    if mesh is not None and run.learner == "shardmap" \
+            and run.agent in ("ddpg", "dqn", "naf"):
+        # Explicit-communication learner: chip-local replay sampling,
+        # one gradient pmean per update (dist/shardmap.py).
+        from .dist import DATA_AXIS, make_shardmap_train_step
+        if sink is not None:
+            print("event-log capture is unsupported with --learner "
+                  "shardmap; ignoring", file=sys.stderr)
+            sink.writer.close()
+            sink = None
+        agent_cls, cfg_cls, _ = _AGENTS[run.agent]
+        local_env = CartPole3D(env.params,
+                               num_envs=run.num_envs // mesh.size,
+                               obs_mode=run.obs_mode)
+        local_agent = agent_cls(local_env, agent.cfg,
+                                dist_axis=DATA_AXIS,
+                                num_shards=mesh.size)
+        step = make_shardmap_train_step(local_agent, mesh, state)
+    else:
+        step = agent.make_train_step(capture=sink is not None)
 
     if run.profile_dir:
         jax.profiler.start_trace(run.profile_dir)

@@ -87,3 +87,18 @@ def test_train_main_dqn_with_ckpt_and_eventlog(tmp_path, capsys):
     out2 = capsys.readouterr()
     lines2 = [json.loads(l) for l in out2.out.splitlines()]
     assert lines2 and lines2[-1]["env_steps"] == 16.0
+
+
+def test_train_main_shardmap_learner(capsys):
+    """--learner shardmap drives the explicit-communication path on the
+    virtual 8-device mesh."""
+    rc = main(["--agent", "ddpg", "--num-envs", "32",
+               "--total-env-steps", "4", "--log-interval", "1",
+               "--learner", "shardmap",
+               "--ddpg.hidden", "16", "--ddpg.rollout-steps", "2",
+               "--ddpg.updates-per-step", "1", "--ddpg.batch-size", "16",
+               "--ddpg.replay-capacity-per-env", "8",
+               "--ddpg.warmup-env-steps", "0"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert np.isfinite(lines[-1]["critic_loss"])
