@@ -12,6 +12,12 @@ import jax
 import jax.numpy as jnp
 
 
+def local_batch(global_batch: int, num_shards: int) -> int:
+    """Per-shard learner minibatch under shard_map (config batch sizes
+    are GLOBAL)."""
+    return max(global_batch // num_shards, 1)
+
+
 def as_key(key):
     """Accept an int seed or a PRNG key."""
     return jax.random.PRNGKey(key) if isinstance(key, int) else key

@@ -36,7 +36,7 @@ import optax
 
 from ..env import CartPole3D
 from ..models import ActorMLP, CriticMLP, VisualActor, VisualCritic, polyak
-from .common import as_key, gated_update_scan
+from .common import local_batch, as_key, gated_update_scan
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -140,7 +140,7 @@ class DDPG:
     @property
     def local_batch_size(self) -> int:
         """Per-shard learner minibatch (cfg.batch_size is GLOBAL)."""
-        return max(self.cfg.batch_size // self.num_shards, 1)
+        return local_batch(self.cfg.batch_size, self.num_shards)
 
     # --- acting -------------------------------------------------------------
     def act(self, actor_params, obs, noise=None):

@@ -22,7 +22,7 @@ import optax
 
 from ..env import CartPole3D
 from ..models import QNetMLP, VisualQNet, polyak
-from .common import as_key, gated_update_scan, run_rollout
+from .common import local_batch, as_key, gated_update_scan, run_rollout
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -142,7 +142,7 @@ class DQN:
                 key = jax.random.fold_in(
                     key, jax.lax.axis_index(self.dist_axis))
             batch = self.replay.sample(
-                s.replay, key, max(c.batch_size // self.num_shards, 1))
+                s.replay, key, local_batch(c.batch_size, self.num_shards))
             loss, grad = jax.value_and_grad(self._loss)(
                 s.q, s.q_target, batch)
             if self.dist_axis is not None:
@@ -158,12 +158,17 @@ class DQN:
             env_steps >= c.warmup_env_steps, jnp.float32(0.0))
 
         metrics_extra = {"traj": traj} if capture else {}
+        reward_mean = jnp.mean(traj[2])
+        done_frac = jnp.mean(traj[3].astype(jnp.float32))
+        if self.dist_axis is not None:
+            reward_mean, done_frac = jax.lax.pmean(
+                (reward_mean, done_frac), self.dist_axis)
         return st, {
             **metrics_extra,
             "loss": loss,
             "epsilon": eps,
-            "reward_mean": jnp.mean(traj[2]),
-            "done_frac": jnp.mean(traj[3].astype(jnp.float32)),
+            "reward_mean": reward_mean,
+            "done_frac": done_frac,
             "env_steps": env_steps,
         }
 

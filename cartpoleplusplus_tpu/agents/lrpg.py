@@ -108,12 +108,13 @@ class LRPG:
                           jnp.full((self.env.num_envs,), st.baseline))
         baseline = ((1.0 - c.baseline_rate) * st.baseline
                     + c.baseline_rate * jnp.mean(g))
-        # Center on the WINDOW mean, not only the (lagging) EMA baseline:
-        # an uncentered positive advantage reinforces every sampled action,
-        # which collapses the softmax onto the initially-likeliest action
-        # within a few updates (rich-get-richer; observed empirically).
-        adv = g - baseline
-        adv = adv - jnp.mean(adv)
+        # Window-mean-centered, normalized advantages. Centering is what
+        # prevents softmax collapse: an uncentered positive advantage
+        # reinforces every sampled action, which locks the policy onto the
+        # initially-likeliest one within a few updates (observed
+        # empirically). The EMA baseline's only remaining role is the
+        # returns bootstrap above.
+        adv = g - jnp.mean(g)
         adv = adv / (jnp.std(adv) + 1e-6)
 
         loss, grad = jax.value_and_grad(self._loss)(

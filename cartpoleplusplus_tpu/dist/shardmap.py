@@ -9,8 +9,10 @@ the intended communication pattern explicitly with `shard_map`:
     (zero communication — the (num_envs, capacity) layout guarantees it),
   * each shard samples batch_size/num_shards transitions LOCALLY
     (decorrelated per-shard PRNG via axis_index),
-  * the ONLY collective is one gradient/loss `pmean` per update — the
-    all-reduce that rides ICI in-slice and DCN across slices.
+  * the only collectives are the per-update gradient/loss `pmean`s
+    (two for DDPG's actor+critic, one for DQN/NAF) plus one metrics
+    pmean per train step — all-reduces that ride ICI in-slice and DCN
+    across slices. Rollout and replay traffic is zero.
 
 Parameter updates stay identical across shards because every shard
 applies the same pmean'd gradient with the same replicated optimizer
@@ -84,6 +86,9 @@ def make_shardmap_train_step(local_agent, mesh, state_template):
     def step(state):
         return local_agent.train_step(state)
 
-    body = shard_map(step, mesh=mesh, in_specs=(specs,),
-                     out_specs=(specs, P()), check_vma=False)
+    kwargs = dict(mesh=mesh, in_specs=(specs,), out_specs=(specs, P()))
+    try:
+        body = shard_map(step, check_vma=False, **kwargs)
+    except TypeError:  # pre-0.8 fallback uses check_rep
+        body = shard_map(step, check_rep=False, **kwargs)
     return jax.jit(body, donate_argnums=(0,))

@@ -93,12 +93,31 @@ def main(argv=None) -> int:
         print(json.dumps({k: float(v) for k, v in stats.items()}))
         return 0
 
+    if run.learner not in ("spmd", "shardmap"):
+        print(f"unknown learner {run.learner!r}; choose spmd or shardmap",
+              file=sys.stderr)
+        return 2
+
     state = agent.init(run.seed)
     mesh = None
     if run.use_mesh and len(jax.devices()) > 1:
         from .dist import make_mesh, shard_agent_state
         mesh = make_mesh()
         state = shard_agent_state(state, mesh)
+
+    use_shardmap = run.learner == "shardmap"
+    if use_shardmap:
+        if mesh is None or run.agent not in ("ddpg", "dqn", "naf"):
+            print("--learner shardmap needs >1 device and a replay agent "
+                  "(ddpg/dqn/naf); falling back to spmd", file=sys.stderr)
+            use_shardmap = False
+        elif run.num_envs % mesh.size != 0:
+            print(f"--learner shardmap needs num_envs divisible by the "
+                  f"{mesh.size}-device mesh", file=sys.stderr)
+            return 2
+        elif run.event_log:
+            print("event-log capture is unsupported with --learner "
+                  "shardmap; ignoring --event-log", file=sys.stderr)
 
     mgr = None
     start_call = 0
@@ -116,7 +135,7 @@ def main(argv=None) -> int:
             print(f"resumed from step {latest}", file=sys.stderr)
 
     sink = None
-    if run.event_log:
+    if run.event_log and not use_shardmap:
         from .eventlog import EpisodeSink, EventLogWriter
         writer = EventLogWriter(
             run.event_log,
@@ -126,16 +145,10 @@ def main(argv=None) -> int:
         sink = EpisodeSink(writer, run.num_envs,
                            obs_as_frames=env.obs_mode == "pixels")
 
-    if mesh is not None and run.learner == "shardmap" \
-            and run.agent in ("ddpg", "dqn", "naf"):
+    if use_shardmap:
         # Explicit-communication learner: chip-local replay sampling,
-        # one gradient pmean per update (dist/shardmap.py).
+        # gradient pmeans as the only cross-chip traffic (dist/shardmap.py).
         from .dist import DATA_AXIS, make_shardmap_train_step
-        if sink is not None:
-            print("event-log capture is unsupported with --learner "
-                  "shardmap; ignoring", file=sys.stderr)
-            sink.writer.close()
-            sink = None
         agent_cls, cfg_cls, _ = _AGENTS[run.agent]
         local_env = CartPole3D(env.params,
                                num_envs=run.num_envs // mesh.size,
