@@ -11,6 +11,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Counter-PRNG stream tags for agent exploration noise (utils/prng.py;
+# env-side tags live in env/compute.py). Exploration is a pure function of
+# (per-env seed, global step) so trajectories are sharding-independent.
+TAG_OU_X = 0x41
+TAG_OU_Y = 0x42
+TAG_EPS_GATE = 0x43
+TAG_EPS_ACT = 0x44
+TAG_NAF_X = 0x45
+TAG_NAF_Y = 0x46
+
 
 def local_batch(global_batch: int, num_shards: int) -> int:
     """Per-shard learner minibatch under shard_map (config batch sizes

@@ -36,7 +36,9 @@ import optax
 
 from ..env import CartPole3D
 from ..models import ActorMLP, CriticMLP, VisualActor, VisualCritic, polyak
-from .common import local_batch, as_key, gated_update_scan
+from ..utils.prng import normal
+from .common import (TAG_OU_X, TAG_OU_Y, as_key, gated_update_scan,
+                     local_batch)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -158,9 +160,12 @@ class DDPG:
                         / c.ou_sigma_decay_env_steps, 0.0, 1.0)
         return c.ou_sigma + frac * (c.ou_sigma_min - c.ou_sigma)
 
-    def _ou_step(self, noise, key, sigma=None):
+    def _ou_step(self, noise, env_seed, t, sigma=None):
+        """OU update with counter-based normals keyed by (env seed, global
+        step) — exploration is bitwise independent of sharding layout."""
         c = self.cfg
-        eps = jax.random.normal(key, noise.shape, jnp.float32)
+        eps = jnp.stack([normal(env_seed, t, TAG_OU_X),
+                         normal(env_seed, t, TAG_OU_Y)], axis=-1)
         s = c.ou_sigma if sigma is None else sigma
         return noise + c.ou_theta * (0.0 - noise) + s * eps
 
@@ -212,18 +217,12 @@ class DDPG:
         """rollout_steps env-steps + replay insert + updates_per_step
         gradient updates, as one jit-able program."""
         c = self.cfg
-        rng, k_roll = jax.random.split(st.rng)
-        if self.dist_axis is not None:
-            # Decorrelate exploration noise across shards (rng itself must
-            # stay replicated so parameter updates remain identical).
-            k_roll = jax.random.fold_in(
-                k_roll, jax.lax.axis_index(self.dist_axis))
-
+        rng = st.rng
         sigma = self._sigma(st.env_steps)
 
-        def env_body(carry, key):
+        def env_body(carry, t):
             env_state, obs, noise = carry
-            noise = self._ou_step(noise, key, sigma)
+            noise = self._ou_step(noise, env_state.env_seed, t, sigma)
             action = self.act(st.actor, obs, noise)
             env_state, next_obs, reward, done, _ = self.env.step(
                 env_state, action)
@@ -234,7 +233,7 @@ class DDPG:
 
         (env_state, obs, noise), traj = jax.lax.scan(
             env_body, (st.env_state, st.obs, st.noise),
-            jax.random.split(k_roll, c.rollout_steps))
+            st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,

@@ -22,7 +22,9 @@ import optax
 
 from ..env import CartPole3D
 from ..models import QNetMLP, VisualQNet, polyak
-from .common import local_batch, as_key, gated_update_scan, run_rollout
+from ..utils.prng import hash_words, uniform
+from .common import (TAG_EPS_ACT, TAG_EPS_GATE, as_key, gated_update_scan,
+                     local_batch, run_rollout)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -98,13 +100,14 @@ class DQN:
                         / c.eps_decay_env_steps, 0.0, 1.0)
         return c.eps_start + frac * (c.eps_end - c.eps_start)
 
-    def act(self, q_params, obs, key, eps):
-        """Epsilon-greedy batched action."""
+    def act(self, q_params, obs, env_seed, t, eps):
+        """Epsilon-greedy batched action; exploration is a counter-PRNG
+        function of (per-env seed, global step) — sharding-independent."""
         qv = self.q_net.apply(q_params, obs)
         greedy = jnp.argmax(qv, axis=-1).astype(jnp.int32)
-        k_g, k_a = jax.random.split(key)
-        rand = jax.random.randint(k_a, greedy.shape, 0, self.env.num_actions)
-        explore = jax.random.uniform(k_g, greedy.shape) < eps
+        rand = (hash_words(env_seed, t, TAG_EPS_ACT)
+                % jnp.uint32(self.env.num_actions)).astype(jnp.int32)
+        explore = uniform(0.0, 1.0, env_seed, t, TAG_EPS_GATE) < eps
         return jnp.where(explore, rand, greedy)
 
     def _loss(self, q, q_target, batch):
@@ -123,15 +126,14 @@ class DQN:
 
     def train_step(self, st: DQNState, capture: bool = False) -> tuple[DQNState, dict]:
         c = self.cfg
-        rng, k_roll = jax.random.split(st.rng)
-        if self.dist_axis is not None:
-            k_roll = jax.random.fold_in(
-                k_roll, jax.lax.axis_index(self.dist_axis))
+        rng = st.rng
         eps = self.epsilon(st.env_steps)
+        env_seed = st.env_state.env_seed
 
         env_state, obs, traj = run_rollout(
-            self.env, lambda o, k: self.act(st.q, o, k, eps),
-            st.env_state, st.obs, jax.random.split(k_roll, c.rollout_steps))
+            self.env, lambda o, t: self.act(st.q, o, env_seed, t, eps),
+            st.env_state, st.obs,
+            st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,

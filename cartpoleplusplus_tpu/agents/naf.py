@@ -21,7 +21,9 @@ import optax
 
 from ..env import CartPole3D
 from ..models import NafNet, polyak
-from .common import local_batch, as_key, gated_update_scan, run_rollout
+from ..utils.prng import normal
+from .common import (TAG_NAF_X, TAG_NAF_Y, as_key, gated_update_scan,
+                     local_batch, run_rollout)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -85,11 +87,15 @@ class NAF:
             env_state=env_state, obs=obs, rng=k_run,
             env_steps=jnp.int32(0))
 
-    def act(self, params, obs, key=None):
+    def act(self, params, obs, env_seed=None, t=None):
+        """mu(s), plus counter-PRNG Gaussian exploration when
+        (env_seed, t) are given — sharding-independent."""
         _, mu = self.net.apply(params, obs)
-        if key is None:
+        if env_seed is None:
             return mu
-        eps = jax.random.normal(key, mu.shape) * self.cfg.noise_sigma
+        eps = jnp.stack([normal(env_seed, t, TAG_NAF_X),
+                         normal(env_seed, t, TAG_NAF_Y)],
+                        axis=-1) * self.cfg.noise_sigma
         return jnp.clip(mu + eps, -1.0, 1.0)
 
     def _loss(self, params, target, batch):
@@ -102,14 +108,13 @@ class NAF:
 
     def train_step(self, st: NAFState, capture: bool = False) -> tuple[NAFState, dict]:
         c = self.cfg
-        rng, k_roll = jax.random.split(st.rng)
-        if self.dist_axis is not None:
-            k_roll = jax.random.fold_in(
-                k_roll, jax.lax.axis_index(self.dist_axis))
+        rng = st.rng
+        env_seed = st.env_state.env_seed
 
         env_state, obs, traj = run_rollout(
-            self.env, lambda o, k: self.act(st.params, o, k),
-            st.env_state, st.obs, jax.random.split(k_roll, c.rollout_steps))
+            self.env, lambda o, t: self.act(st.params, o, env_seed, t),
+            st.env_state, st.obs,
+            st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,

@@ -62,3 +62,19 @@ def uniform_from_bits(bits, lo=0.0, hi=1.0):
 def uniform(lo, hi, *words):
     """One uniform draw per element of the broadcast word arrays."""
     return uniform_from_bits(hash_words(*words), lo, hi)
+
+
+def normal(*words):
+    """One standard-normal draw per element of the broadcast word arrays.
+
+    Box-Muller over two tag-salted counter streams — like `uniform`, a
+    pure function of the words, so agent exploration noise derived from
+    (per-env seed, global step) is bitwise independent of batch slot,
+    sharding layout, or host count (the CLAUDE.md randomness invariant,
+    extended from env randomness to agent randomness).
+    """
+    u1 = uniform_from_bits(hash_words(*words, np.uint32(0xB0)),
+                           lo=np.float32(2.0 ** -24), hi=1.0)
+    u2 = uniform_from_bits(hash_words(*words, np.uint32(0xB1)))
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+        np.float32(2.0 * np.pi) * u2)

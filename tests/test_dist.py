@@ -160,3 +160,36 @@ def test_shardmap_dqn_naf_train_step(agent_spec):
     shards = [np.asarray(leaf.addressable_data(i)) for i in range(n)]
     for sh in shards[1:]:
         np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_exploration_noise_layout_independent():
+    """Agent exploration is a counter-PRNG function of (per-env seed,
+    global step): after one train_step from identical inits, the rolled
+    env states match bitwise between single-device jit and 8-device
+    shard_map (only learner minibatch sampling may differ)."""
+    from cartpoleplusplus_tpu.dist import DATA_AXIS, make_shardmap_train_step
+
+    n = 8
+    params = continuous_params()
+    cfg = DDPGConfig(hidden=(16,), rollout_steps=3, updates_per_step=1,
+                     batch_size=64, replay_capacity_per_env=16,
+                     warmup_env_steps=1000)  # skip updates: isolate rollout
+    env_g = CartPole3D(params, num_envs=8 * n)
+    agent_g = DDPG(env_g, cfg)
+    st0 = agent_g.init(0)
+    ref_state, _ = jax.jit(agent_g.train_step)(
+        jax.tree.map(jnp.copy, st0))
+
+    mesh = make_mesh(jax.devices()[:n])
+    st_sharded = shard_agent_state(jax.tree.map(jnp.copy, st0), mesh)
+    agent_l = DDPG(CartPole3D(params, num_envs=8), cfg,
+                   dist_axis=DATA_AXIS, num_shards=n)
+    step = make_shardmap_train_step(agent_l, mesh, st_sharded)
+    sm_state, _ = step(st_sharded)
+
+    np.testing.assert_array_equal(np.asarray(ref_state.env_state.phys.pos),
+                                  np.asarray(sm_state.env_state.phys.pos))
+    np.testing.assert_array_equal(np.asarray(ref_state.env_state.phys.s),
+                                  np.asarray(sm_state.env_state.phys.s))
+    np.testing.assert_array_equal(np.asarray(ref_state.noise),
+                                  np.asarray(sm_state.noise))
