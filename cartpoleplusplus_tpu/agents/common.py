@@ -66,3 +66,20 @@ def gated_update_scan(st, upd_body, num_updates: int, ready,
         return s, jax.tree.map(jnp.mean, metrics)
 
     return jax.lax.cond(ready, do, lambda s: (s, zero_metrics), st)
+
+
+def evaluate_policy(env, policy_fn, key, num_steps: int):
+    """Greedy-policy evaluation over the batched env: `num_steps` steps
+    with masked auto-reset, reduced to episode statistics on device.
+    policy_fn(obs) -> action (deterministic — no exploration)."""
+    state, _ = env.reset(as_key(key))
+    state, (obs, action, reward, done) = env.rollout(
+        state, lambda o, k: policy_fn(o), num_steps)
+    episodes = jnp.sum(done)
+    steps_total = jnp.float32(num_steps * env.num_envs)
+    return {
+        "reward_mean": jnp.mean(reward),
+        "episodes": episodes,
+        "mean_episode_length": steps_total / jnp.maximum(episodes, 1),
+        "done_frac": jnp.mean(done.astype(jnp.float32)),
+    }

@@ -212,6 +212,14 @@ class DDPG:
             critic_target=polyak(st.critic_target, critic, c.tau))
         return st, {"critic_loss": closs, "actor_loss": aloss}
 
+    def evaluate(self, st: DDPGState, num_steps: int = 200, seed: int = 0):
+        """Deterministic-actor evaluation (no OU noise): episode stats."""
+        from .common import evaluate_policy
+
+        return evaluate_policy(self.env,
+                               lambda o: self.act(st.actor, o),
+                               seed, num_steps)
+
     # --- the fused actor-learner step ---------------------------------------
     def train_step(self, st: DDPGState, capture: bool = False) -> tuple[DDPGState, dict]:
         """rollout_steps env-steps + replay insert + updates_per_step

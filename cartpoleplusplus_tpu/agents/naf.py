@@ -98,6 +98,14 @@ class NAF:
                         axis=-1) * self.cfg.noise_sigma
         return jnp.clip(mu + eps, -1.0, 1.0)
 
+    def evaluate(self, st: NAFState, num_steps: int = 200, seed: int = 0):
+        """mu-policy evaluation (no exploration): episode stats."""
+        from .common import evaluate_policy
+
+        return evaluate_policy(self.env,
+                               lambda o: self.act(st.params, o),
+                               seed, num_steps)
+
     def _loss(self, params, target, batch):
         obs, action, reward, next_obs, done = batch
         c = self.cfg

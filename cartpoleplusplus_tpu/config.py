@@ -47,6 +47,8 @@ class RunConfig:
     event_log: str = ""              # empty = no event log
     use_mesh: bool = True            # shard envs over all local devices
     learner: str = "spmd"            # spmd (partitioner) | shardmap (explicit)
+    eval_only: bool = False          # restore from ckpt_dir, evaluate, exit
+    eval_steps: int = 400            # env-steps per eval run
     profile_dir: str = ""            # empty = no profiler trace
 
 

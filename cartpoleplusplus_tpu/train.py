@@ -134,6 +134,18 @@ def main(argv=None) -> int:
             start_call = latest + 1
             print(f"resumed from step {latest}", file=sys.stderr)
 
+    if run.eval_only:
+        # Deterministic-policy evaluation of the restored (or fresh)
+        # weights — the reference's "watch the trained agent" workflow,
+        # batched and headless.
+        stats = jax.jit(agent.evaluate, static_argnums=(1, 2))(
+            state, run.eval_steps, run.seed)
+        print(json.dumps({k: float(np.asarray(v))
+                          for k, v in stats.items()}))
+        if mgr is not None:
+            mgr.close()
+        return 0
+
     sink = None
     if run.event_log and not use_shardmap:
         from .eventlog import EpisodeSink, EventLogWriter

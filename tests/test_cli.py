@@ -102,3 +102,23 @@ def test_train_main_shardmap_learner(capsys):
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert np.isfinite(lines[-1]["critic_loss"])
+
+
+def test_train_then_eval_only(tmp_path, capsys):
+    """Train briefly with checkpoints, then --eval-only restores and
+    reports deterministic-policy episode statistics."""
+    argv = ["--agent", "dqn", "--num-envs", "8", "--total-env-steps", "8",
+            "--log-interval", "1", "--ckpt-dir", str(tmp_path / "ck"),
+            "--ckpt-interval", "1",
+            "--dqn.hidden", "16", "--dqn.rollout-steps", "4",
+            "--dqn.updates-per-step", "1", "--dqn.batch-size", "16",
+            "--dqn.replay-capacity-per-env", "16",
+            "--dqn.warmup-env-steps", "0"]
+    assert main(argv) == 0
+    capsys.readouterr()
+    assert main(argv + ["--eval-only", "--eval-steps", "64"]) == 0
+    out = capsys.readouterr()
+    stats = json.loads(out.out.strip())
+    assert stats["episodes"] > 0
+    assert 1.0 <= stats["mean_episode_length"] <= 200.0
+    assert "resumed" in out.err
