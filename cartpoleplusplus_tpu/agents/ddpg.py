@@ -212,13 +212,16 @@ class DDPG:
             critic_target=polyak(st.critic_target, critic, c.tau))
         return st, {"critic_loss": closs, "actor_loss": aloss}
 
+    def greedy_policy(self, st: DDPGState):
+        """Deterministic policy fn(obs) -> action (no OU noise)."""
+        return lambda o: self.act(st.actor, o)
+
     def evaluate(self, st: DDPGState, num_steps: int = 200, seed: int = 0):
         """Deterministic-actor evaluation (no OU noise): episode stats."""
         from .common import evaluate_policy
 
-        return evaluate_policy(self.env,
-                               lambda o: self.act(st.actor, o),
-                               seed, num_steps)
+        return evaluate_policy(self.env, self.greedy_policy(st), seed,
+                               num_steps)
 
     # --- the fused actor-learner step ---------------------------------------
     def train_step(self, st: DDPGState, capture: bool = False) -> tuple[DDPGState, dict]:

@@ -110,14 +110,17 @@ class DQN:
         explore = uniform(0.0, 1.0, env_seed, t, TAG_EPS_GATE) < eps
         return jnp.where(explore, rand, greedy)
 
+    def greedy_policy(self, st: DQNState):
+        """Greedy policy fn(obs) -> action (epsilon = 0)."""
+        return lambda o: jnp.argmax(self.q_net.apply(st.q, o), -1).astype(
+            jnp.int32)
+
     def evaluate(self, st: DQNState, num_steps: int = 200, seed: int = 0):
         """Greedy-policy evaluation (epsilon = 0): episode stats."""
         from .common import evaluate_policy
 
-        def greedy(o):
-            return jnp.argmax(self.q_net.apply(st.q, o), -1).astype(jnp.int32)
-
-        return evaluate_policy(self.env, greedy, seed, num_steps)
+        return evaluate_policy(self.env, self.greedy_policy(st), seed,
+                               num_steps)
 
     def _loss(self, q, q_target, batch):
         obs, action, reward, next_obs, done = batch

@@ -85,15 +85,17 @@ class LRPG:
         logits = self.net.apply(params, obs)
         return jax.random.categorical(key, logits).astype(jnp.int32)
 
+    def greedy_policy(self, st: LRPGState):
+        """Argmax policy fn(obs) -> action."""
+        return lambda o: jnp.argmax(self.net.apply(st.params, o),
+                                    -1).astype(jnp.int32)
+
     def evaluate(self, st: LRPGState, num_steps: int = 200, seed: int = 0):
         """Argmax-policy evaluation: episode stats."""
         from .common import evaluate_policy
 
-        def greedy(o):
-            return jnp.argmax(self.net.apply(st.params, o), -1).astype(
-                jnp.int32)
-
-        return evaluate_policy(self.env, greedy, seed, num_steps)
+        return evaluate_policy(self.env, self.greedy_policy(st), seed,
+                               num_steps)
 
     def _loss(self, params, obs, action, advantage):
         logits = self.net.apply(params, obs)

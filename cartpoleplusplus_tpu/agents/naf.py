@@ -98,13 +98,16 @@ class NAF:
                         axis=-1) * self.cfg.noise_sigma
         return jnp.clip(mu + eps, -1.0, 1.0)
 
+    def greedy_policy(self, st: NAFState):
+        """mu policy fn(obs) -> action (no exploration)."""
+        return lambda o: self.act(st.params, o)
+
     def evaluate(self, st: NAFState, num_steps: int = 200, seed: int = 0):
         """mu-policy evaluation (no exploration): episode stats."""
         from .common import evaluate_policy
 
-        return evaluate_policy(self.env,
-                               lambda o: self.act(st.params, o),
-                               seed, num_steps)
+        return evaluate_policy(self.env, self.greedy_policy(st), seed,
+                               num_steps)
 
     def _loss(self, params, target, batch):
         obs, action, reward, next_obs, done = batch

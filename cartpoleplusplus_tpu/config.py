@@ -49,6 +49,7 @@ class RunConfig:
     learner: str = "spmd"            # spmd (partitioner) | shardmap (explicit)
     eval_only: bool = False          # restore from ckpt_dir, evaluate, exit
     eval_steps: int = 400            # env-steps per eval run
+    eval_render: str = ""            # with --eval-only: dump frames of env 0 here
     profile_dir: str = ""            # empty = no profiler trace
 
 

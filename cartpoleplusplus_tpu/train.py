@@ -142,6 +142,22 @@ def main(argv=None) -> int:
             state, run.eval_steps, run.seed)
         print(json.dumps({k: float(np.asarray(v))
                           for k, v in stats.items()}))
+        if run.eval_render:
+            # Render env 0 acting under the trained greedy policy.
+            from .viz import save_frame
+            policy = agent.greedy_policy(state)
+            est, obs = jax.jit(env.reset)(run.seed)
+            step_fn = jax.jit(env.step)
+            render_fn = jax.jit(env.render)
+            os.makedirs(run.eval_render, exist_ok=True)
+            n_frames = min(run.eval_steps, 120)
+            for t in range(n_frames):
+                img = np.asarray(render_fn(est.phys))[0, ..., :3]
+                save_frame(os.path.join(run.eval_render, f"step{t:04d}"),
+                           img)
+                est, obs, _, _, _ = step_fn(est, policy(obs))
+            print(f"wrote {n_frames} frames to {run.eval_render}",
+                  file=sys.stderr)
         if mgr is not None:
             mgr.close()
         return 0

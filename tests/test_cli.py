@@ -122,3 +122,20 @@ def test_train_then_eval_only(tmp_path, capsys):
     assert stats["episodes"] > 0
     assert 1.0 <= stats["mean_episode_length"] <= 200.0
     assert "resumed" in out.err
+
+
+def test_eval_render_writes_frames(tmp_path, capsys):
+    argv = ["--agent", "dqn", "--num-envs", "8", "--total-env-steps", "4",
+            "--log-interval", "1", "--ckpt-dir", str(tmp_path / "ck"),
+            "--ckpt-interval", "1",
+            "--dqn.hidden", "16", "--dqn.rollout-steps", "4",
+            "--dqn.updates-per-step", "1", "--dqn.batch-size", "16",
+            "--dqn.replay-capacity-per-env", "16",
+            "--dqn.warmup-env-steps", "0"]
+    assert main(argv) == 0
+    capsys.readouterr()
+    out_dir = tmp_path / "frames"
+    assert main(argv + ["--eval-only", "--eval-steps", "6",
+                        "--eval-render", str(out_dir)]) == 0
+    import glob
+    assert len(glob.glob(str(out_dir / "step*"))) == 6
