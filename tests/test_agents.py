@@ -164,3 +164,21 @@ def test_ddpg_from_pixels_smoke():
     obs, _, _, _, _ = agent.replay.sample(st.replay, jax.random.PRNGKey(0), 8)
     assert obs.dtype == jnp.float32
     assert float(obs.max()) <= 1.0 and float(obs.min()) >= 0.0
+
+
+def test_ddpg_bfloat16_compute():
+    """dtype="bfloat16" (the TPU MXU dtype) trains finitely: params stay
+    fp32, network compute runs in bf16."""
+    env = CartPole3D(continuous_params(), num_envs=8)
+    agent = DDPG(env, DDPGConfig(hidden=(32,), rollout_steps=2,
+                                 updates_per_step=1, batch_size=16,
+                                 replay_capacity_per_env=16,
+                                 warmup_env_steps=0, dtype="bfloat16"))
+    st = agent.init(0)
+    assert jax.tree.leaves(st.actor)[0].dtype == jnp.float32  # fp32 params
+    step = agent.make_train_step()
+    for _ in range(2):
+        st, metrics = step(st)
+    _check_finite(metrics)
+    a = agent.act(st.actor, st.obs)
+    assert a.dtype == jnp.float32 and np.all(np.abs(np.asarray(a)) <= 1.0)
