@@ -14,11 +14,30 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def _to_pytree(state):
-    """NamedTuple -> plain nested dict (orbax-friendly, field-named)."""
+def _to_pytree(state, exclude=()):
+    """NamedTuple -> plain nested dict (orbax-friendly, field-named).
+
+    exclude: top-level field names to drop — e.g. ("replay",) for
+    weights-only checkpoints when the replay buffer dwarfs the network
+    (pixel replays easily exceed 1 GB; the reference's TF Saver likewise
+    persisted only variables). Excluded fields restore to the values of
+    the provided target (i.e. a fresh buffer), trading bit-exact resume
+    for small, fast saves.
+    """
     if hasattr(state, "_asdict"):
-        return {k: _to_pytree(v) for k, v in state._asdict().items()}
+        return {k: _to_pytree(v) for k, v in state._asdict().items()
+                if k not in exclude}
     return state
+
+
+def _merge_restored(template, tree):
+    """Like _from_pytree but tolerates fields missing from `tree`
+    (excluded at save time): those keep the template's value."""
+    if hasattr(template, "_asdict"):
+        return type(template)(**{
+            k: (_merge_restored(v, tree[k]) if k in tree else v)
+            for k, v in template._asdict().items()})
+    return tree
 
 
 def _from_pytree(template, tree):
@@ -30,23 +49,25 @@ def _from_pytree(template, tree):
     return tree
 
 
-def save_checkpoint(path: str, state, force: bool = True) -> None:
+def save_checkpoint(path: str, state, force: bool = True,
+                    exclude: tuple = ()) -> None:
     """Write one checkpoint to `path` (a directory)."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _to_pytree(state), force=force)
+        ckptr.save(path, _to_pytree(state, exclude), force=force)
 
 
-def restore_checkpoint(path: str, target):
+def restore_checkpoint(path: str, target, exclude: tuple = ()):
     """Restore into the structure (and shardings) of `target` — pass the
     freshly-initialized agent state; arrays land with target's sharding,
-    which makes this multi-host / re-layout safe."""
+    which makes this multi-host / re-layout safe. `exclude` must match
+    the save-time exclusion; excluded fields keep target's values."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
-                                _to_pytree(target))
+                                _to_pytree(target, exclude))
         restored = ckptr.restore(path, abstract)
-    return _from_pytree(target, restored)
+    return _merge_restored(target, restored)
 
 
 class CheckpointManager:
@@ -58,7 +79,8 @@ class CheckpointManager:
     """
 
     def __init__(self, directory: str, save_interval_steps: int = 1,
-                 max_to_keep: int = 3):
+                 max_to_keep: int = 3, exclude: tuple = ()):
+        self._exclude = tuple(exclude)
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(
@@ -71,7 +93,8 @@ class CheckpointManager:
     def save(self, step: int, state) -> bool:
         """Save if the interval policy says so; returns whether saved."""
         saved = self._mgr.save(
-            step, args=ocp.args.StandardSave(_to_pytree(state)))
+            step, args=ocp.args.StandardSave(
+                _to_pytree(state, self._exclude)))
         return bool(saved)
 
     def latest_step(self):
@@ -83,10 +106,10 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError("no checkpoint to restore")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
-                                _to_pytree(target))
+                                _to_pytree(target, self._exclude))
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract))
-        return _from_pytree(target, restored)
+        return _merge_restored(target, restored)
 
     def wait_until_finished(self):
         self._mgr.wait_until_finished()

@@ -44,6 +44,7 @@ class RunConfig:
     log_interval: int = 10           # train_steps between metric prints
     ckpt_dir: str = ""               # empty = no checkpointing
     ckpt_interval: int = 100         # train_steps between saves
+    ckpt_full: bool = True           # False = weights-only (exclude replay)
     event_log: str = ""              # empty = no event log
     use_mesh: bool = True            # shard envs over all local devices
     learner: str = "spmd"            # spmd (partitioner) | shardmap (explicit)

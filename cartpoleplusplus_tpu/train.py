@@ -123,8 +123,9 @@ def main(argv=None) -> int:
     start_call = 0
     if run.ckpt_dir:
         from .ckpt import CheckpointManager
-        mgr = CheckpointManager(run.ckpt_dir,
-                                save_interval_steps=run.ckpt_interval)
+        mgr = CheckpointManager(
+            run.ckpt_dir, save_interval_steps=run.ckpt_interval,
+            exclude=() if run.ckpt_full else ("replay",))
         latest = mgr.latest_step()
         if latest is not None:
             state = mgr.restore(state, latest)

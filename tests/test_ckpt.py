@@ -81,3 +81,27 @@ def test_restore_missing_raises(tmp_path):
     with CheckpointManager(str(tmp_path / "empty")) as mgr:
         with pytest.raises(FileNotFoundError):
             mgr.restore(agent.init(0))
+
+
+def test_weights_only_checkpoint(tmp_path):
+    """exclude=("replay",): saves skip the buffer (the reference's
+    variables-only TF Saver behavior); restore warm-starts weights and
+    env state with a fresh replay."""
+    agent = _agent()
+    st = agent.init(0)
+    step = agent.make_train_step()
+    st, _ = step(st)
+    saved = jax.tree.map(np.asarray, st)
+    with CheckpointManager(str(tmp_path / "w"), exclude=("replay",)) as mgr:
+        assert mgr.save(0, st)
+        mgr.wait_until_finished()
+        fresh = agent.init(1)
+        restored = mgr.restore(fresh)
+    _assert_tree_equal(saved["actor"] if isinstance(saved, dict)
+                       else saved.actor, restored.actor)
+    _assert_tree_equal(jax.tree.map(np.asarray, st.env_state),
+                       restored.env_state)
+    # Replay came from the fresh target, not the checkpoint.
+    _assert_tree_equal(jax.tree.map(np.asarray, fresh.replay),
+                       restored.replay)
+    assert int(restored.replay.filled) == 0
