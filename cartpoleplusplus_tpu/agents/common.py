@@ -68,18 +68,81 @@ def gated_update_scan(st, upd_body, num_updates: int, ready,
     return jax.lax.cond(ready, do, lambda s: (s, zero_metrics), st)
 
 
-def evaluate_policy(env, policy_fn, key, num_steps: int):
-    """Greedy-policy evaluation over the batched env: `num_steps` steps
-    with masked auto-reset, reduced to episode statistics on device.
-    policy_fn(obs) -> action (deterministic — no exploration)."""
-    state, _ = env.reset(as_key(key))
-    state, (obs, action, reward, done) = env.rollout(
-        state, lambda o, k: policy_fn(o), num_steps)
-    episodes = jnp.sum(done)
-    steps_total = jnp.float32(num_steps * env.num_envs)
+def episode_length_hist(done, cap: int):
+    """Histogram of COMPLETED-episode lengths from a time-major (T, B)
+    done matrix: hist[L] = number of episodes that finished after exactly
+    L env-steps. A per-env step counter is carried over the scan and its
+    value lands in the histogram the step its env reports done; the
+    trailing censored window of every env contributes nothing. Episodes
+    are aligned with t=0 (env.reset starts everyone fresh)."""
+    b = done.shape[1]
+
+    def body(carry, done_t):
+        c, hist = carry
+        c = c + 1
+        hist = hist.at[jnp.minimum(c, cap)].add(done_t.astype(jnp.int32))
+        c = jnp.where(done_t, 0, c)
+        return (c, hist), None
+
+    (_, hist), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((b,), jnp.int32), jnp.zeros((cap + 1,), jnp.int32)),
+        done)
+    return hist
+
+
+def episode_stats_from_hist(hist):
+    """Episode statistics from a length histogram (hist[L] = number of
+    COMPLETED episodes of exactly L env-steps). All-device; returns
+    mean/median/max over completed episodes plus the count. Empty
+    histogram (no completed episode) yields zeros, not NaNs."""
+    n = jnp.sum(hist)
+    lengths = jnp.arange(hist.shape[0], dtype=jnp.float32)
+    total = jnp.sum(hist.astype(jnp.float32) * lengths)
+    mean = total / jnp.maximum(n.astype(jnp.float32), 1.0)
+    max_len = jnp.max(jnp.where(hist > 0, jnp.arange(hist.shape[0]), 0))
+    # Median = first length at which the cumulative count crosses half
+    # of the total (argmax returns the FIRST True).
+    cum = jnp.cumsum(hist)
+    median = jnp.argmax(2 * cum >= n).astype(jnp.int32)
     return {
-        "reward_mean": jnp.mean(reward),
-        "episodes": episodes,
-        "mean_episode_length": steps_total / jnp.maximum(episodes, 1),
-        "done_frac": jnp.mean(done.astype(jnp.float32)),
+        "episodes": n,
+        "mean_episode_length": mean,
+        "median_episode_length": median,
+        "max_episode_length": max_len,
     }
+
+
+def evaluate_policy(env, policy_fn, key, num_steps: int,
+                    needs_key: bool = False):
+    """Policy evaluation over the batched env: `num_steps` steps with
+    masked auto-reset, reduced to EXACT per-episode statistics on device.
+
+    policy_fn(obs) -> action (deterministic), or policy_fn(obs, key) when
+    `needs_key` (stochastic baselines). Per-env step counters are carried
+    through the scan and each counter value lands in a length histogram
+    the step its env finishes — so mean/median/max are over *completed*
+    episodes only; the trailing censored window of every env is discarded
+    (the reference's per-episode Python loop got this for free; the
+    earlier steps/episodes ratio here over-counted truncated tails).
+    Nothing but scalars and the (max_episode_steps+1,) histogram is
+    materialized — no O(T*B) trajectory stacking.
+    """
+    k_env, k_pol = jax.random.split(as_key(key))
+    state, obs0 = env.reset(k_env)
+    b = env.num_envs
+
+    def body(carry, _):
+        st, obs, k = carry
+        k, ka = jax.random.split(k)
+        action = policy_fn(obs, ka) if needs_key else policy_fn(obs)
+        st, obs, reward, done, _ = env.step(st, action)
+        return (st, obs, k), (jnp.sum(reward), done)
+
+    _, (rew_sums, done) = jax.lax.scan(
+        body, (state, obs0, k_pol), None, length=num_steps)
+    stats = episode_stats_from_hist(
+        episode_length_hist(done, env.params.max_episode_steps))
+    stats["reward_mean"] = jnp.sum(rew_sums) / jnp.float32(num_steps * b)
+    stats["done_frac"] = jnp.mean(done.astype(jnp.float32))
+    return stats

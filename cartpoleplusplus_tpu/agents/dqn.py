@@ -96,6 +96,8 @@ class DQN:
 
     def epsilon(self, env_steps):
         c = self.cfg
+        if c.eps_decay_env_steps <= 0:  # no decay horizon: constant floor
+            return jnp.float32(c.eps_end)
         frac = jnp.clip(env_steps.astype(jnp.float32)
                         / c.eps_decay_env_steps, 0.0, 1.0)
         return c.eps_start + frac * (c.eps_end - c.eps_start)

@@ -8,10 +8,8 @@ reference mount empty this session).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..env import CartPole3D
-from .common import as_key
 
 
 class RandomAgent:
@@ -29,16 +27,12 @@ class RandomAgent:
 
     def evaluate(self, key, num_steps: int = 200):
         """Run `num_steps` random steps over the full batch; returns
-        per-step mean reward and episode statistics (all on device)."""
-        k_env, k_pol = jax.random.split(as_key(key))
-        state, _ = self.env.reset(k_env)
-        state, (obs, action, reward, done) = self.env.rollout(
-            state, self.policy, num_steps, policy_key=k_pol)
-        episodes = jnp.sum(done)
-        return {
-            "reward_mean": jnp.mean(reward),
-            "episodes": episodes,
-            # Mean episode length approximation over the window.
-            "steps_per_episode": (jnp.float32(num_steps * self.env.num_envs)
-                                  / jnp.maximum(episodes, 1)),
-        }
+        per-step mean reward and exact per-episode statistics (all on
+        device; agents/common.py::evaluate_policy)."""
+        from .common import evaluate_policy
+
+        stats = evaluate_policy(self.env, self.policy, key, num_steps,
+                                needs_key=True)
+        # Back-compat alias for the historical key name.
+        stats["steps_per_episode"] = stats["mean_episode_length"]
+        return stats

@@ -85,6 +85,21 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls,
                                 default=default)
 
 
+def explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
+    """Dest names of the flags actually present on the command line.
+
+    Re-parses `argv` with every default suppressed, so the resulting
+    namespace contains ONLY user-provided flags — the reliable way to
+    distinguish "--x <default value>" from an omitted flag (train.py uses
+    this to merge env presets without clobbering explicit overrides).
+    Mutates `parser`'s defaults; pass a throwaway parser.
+    """
+    for a in parser._actions:
+        if a.dest != "help":
+            a.default = argparse.SUPPRESS
+    return set(vars(parser.parse_args(argv)))
+
+
 def from_args(cls, args: argparse.Namespace, prefix: str = ""):
     """Rebuild a dataclass instance from parsed args (tuples re-tupled)."""
     types = _field_types(cls)

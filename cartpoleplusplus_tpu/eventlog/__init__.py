@@ -11,8 +11,10 @@ CLI: `python -m cartpoleplusplus_tpu.eventlog dump <file.cpe>`.
 from .writer import (
     EpisodeSink,
     EventLogWriter,
+    next_episode_ids,
     read_records,
     validate,
 )
 
-__all__ = ["EpisodeSink", "EventLogWriter", "read_records", "validate"]
+__all__ = ["EpisodeSink", "EventLogWriter", "next_episode_ids",
+           "read_records", "validate"]

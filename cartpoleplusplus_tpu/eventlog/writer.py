@@ -190,6 +190,19 @@ def read_records(path: str):
                 raise ValueError(f"unknown record kind {kind}")
 
 
+def next_episode_ids(path: str, num_envs: int) -> np.ndarray:
+    """Per-env first-unused episode id in an existing log: max seen + 1
+    (a resumed run resets env state, so the trailing in-progress episode
+    is abandoned rather than continued — its id must not be reused for
+    unrelated new steps)."""
+    ids = np.full(num_envs, -1, np.int64)
+    for kind, rec in read_records(path):
+        if kind == "chunk" and rec["env_id"] < num_envs:
+            ids[rec["env_id"]] = max(ids[rec["env_id"]],
+                                     int(rec["episode_id"]))
+    return ids + 1
+
+
 class EpisodeSink:
     """Splits fetched rollout chunks into per-env episode segments.
 
@@ -202,13 +215,19 @@ class EpisodeSink:
     """
 
     def __init__(self, writer: EventLogWriter, num_envs: int,
-                 obs_as_frames: bool = False):
+                 obs_as_frames: bool = False, initial_episode_ids=None):
         """obs_as_frames=True stores [0,1]-float image observations in the
         uint8 `frames` field (4x smaller than f32 state; the reference
-        likewise logged rendered frames separately from poses)."""
+        likewise logged rendered frames separately from poses).
+        initial_episode_ids seeds the per-env episode counters — pass
+        `next_episode_ids(path, num_envs)` when appending to an existing
+        log so resumed runs never reuse an (env_id, episode_id) pair."""
         self.writer = writer
         self.obs_as_frames = obs_as_frames
-        self.episode_ids = np.zeros(num_envs, np.int64)
+        self.episode_ids = (np.zeros(num_envs, np.int64)
+                            if initial_episode_ids is None
+                            else np.asarray(initial_episode_ids, np.int64)
+                            .copy())
 
     def add_rollout(self, state, action, reward, done, frames=None):
         state = np.asarray(state)

@@ -28,7 +28,7 @@ import numpy as np
 from . import CartPole3D, CartPoleParams
 from .agents import DDPG, DDPGConfig, DQN, DQNConfig, LRPG, LRPGConfig, \
     NAF, NAFConfig, RandomAgent
-from .config import RunConfig, add_dataclass_args, from_args
+from .config import RunConfig, add_dataclass_args, explicit_dests, from_args
 from .physics.params import continuous_params
 
 _AGENTS = {
@@ -53,19 +53,29 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def build(run: RunConfig, args: argparse.Namespace):
-    """(env, agent) from parsed configuration."""
+def build(run: RunConfig, args: argparse.Namespace, provided=None):
+    """(env, agent) from parsed configuration.
+
+    `provided` is the set of explicitly-passed CLI dests (main computes it
+    via config.explicit_dests); fields the user actually typed are NEVER
+    lifted to the continuous preset, even when the typed value equals the
+    plain default (e.g. `--no-env.reward-shaped` must stick). Library
+    callers that skip `provided` fall back to a value-differs heuristic.
+    """
     _, cfg_cls, kind = _AGENTS[run.agent]
     params = from_args(CartPoleParams, args, prefix="env.")
     if kind == "continuous":
         # Continuous agents default to the config-3 preset (continuous
-        # actions + shaped reward + pushes). Fields the user left at the
-        # plain default are lifted to the preset value; explicit overrides
-        # (any flag value differing from the plain default) are kept.
+        # actions + shaped reward + pushes); unset fields lift to it.
         plain, preset = CartPoleParams(), continuous_params()
+
+        def keep(f):
+            if provided is not None:
+                return ("env." + f.name) in provided
+            return getattr(params, f.name) != getattr(plain, f.name)
+
         merged = {
-            f.name: (getattr(params, f.name)
-                     if getattr(params, f.name) != getattr(plain, f.name)
+            f.name: (getattr(params, f.name) if keep(f)
                      else getattr(preset, f.name))
             for f in dataclasses.fields(CartPoleParams)}
         params = CartPoleParams(**merged)
@@ -79,17 +89,20 @@ def build(run: RunConfig, args: argparse.Namespace):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    provided = explicit_dests(build_parser(), argv)
     run = from_args(RunConfig, args)
     if run.agent not in _AGENTS:
         print(f"unknown agent {run.agent!r}; choose from {list(_AGENTS)}",
               file=sys.stderr)
         return 2
-    env, agent = build(run, args)
+    env, agent = build(run, args, provided)
 
     if run.agent == "random":
+        # total_env_steps is PER-ENV everywhere (the training loop runs
+        # total_env_steps // rollout_steps calls) — the random baseline
+        # uses the same per-env interpretation.
         stats = jax.jit(agent.evaluate, static_argnums=(1,))(
-            jax.random.PRNGKey(run.seed),
-            max(run.total_env_steps // run.num_envs, 1))
+            jax.random.PRNGKey(run.seed), max(run.total_env_steps, 1))
         print(json.dumps({k: float(v) for k, v in stats.items()}))
         return 0
 
@@ -165,14 +178,20 @@ def main(argv=None) -> int:
 
     sink = None
     if run.event_log and not use_shardmap:
-        from .eventlog import EpisodeSink, EventLogWriter
+        from .eventlog import EpisodeSink, EventLogWriter, next_episode_ids
+        appending = start_call > 0 and os.path.exists(run.event_log)
+        # On append, continue episode numbering past the ids already in
+        # the file — (env_id, episode_id) pairs must stay unique.
+        seed_ids = (next_episode_ids(run.event_log, run.num_envs)
+                    if appending else None)
         writer = EventLogWriter(
             run.event_log,
             metadata={"run": dataclasses.asdict(run),
                       "env": dataclasses.asdict(env.params)},
-            append=start_call > 0 and os.path.exists(run.event_log))
+            append=appending)
         sink = EpisodeSink(writer, run.num_envs,
-                           obs_as_frames=env.obs_mode == "pixels")
+                           obs_as_frames=env.obs_mode == "pixels",
+                           initial_episode_ids=seed_ids)
 
     if use_shardmap:
         # Explicit-communication learner: chip-local replay sampling,

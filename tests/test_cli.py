@@ -42,6 +42,24 @@ def test_build_every_agent():
         assert env.params.discrete_actions == (kind == "discrete")
 
 
+def test_continuous_preset_keeps_explicit_flags():
+    """Round-1 advisor (medium): explicitly-passed env flags whose value
+    equals the plain default must NOT be lifted to the continuous preset
+    (`--no-env.reward-shaped --env.push-prob-per-repeat 0.0` has to
+    stick), while genuinely-unset fields still get the preset."""
+    from cartpoleplusplus_tpu.config import explicit_dests
+    argv = ["--agent", "ddpg", "--num-envs", "4",
+            "--no-env.reward-shaped", "--env.push-prob-per-repeat", "0.0"]
+    args = build_parser().parse_args(argv)
+    provided = explicit_dests(build_parser(), argv)
+    run = from_args(RunConfig, args)
+    env, _ = build(run, args, provided)
+    assert env.params.reward_shaped is False
+    assert env.params.push_prob_per_repeat == 0.0
+    # Unset fields still lift to the config-3 preset.
+    assert env.params.discrete_actions is False
+
+
 def test_train_main_random(capsys):
     rc = main(["--agent", "random", "--num-envs", "8",
                "--total-env-steps", "128"])

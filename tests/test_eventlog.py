@@ -145,3 +145,37 @@ def test_sink_pixel_obs_stored_as_frames(tmp_path):
     assert chunks[0]["frames"].dtype == np.uint8
     got = chunks[0]["frames"].reshape(3, 4, 4, 3).astype(np.float32) / 255.0
     np.testing.assert_allclose(got, obs[:, 0], atol=1 / 255.0 + 1e-6)
+
+
+def test_next_episode_ids_seeds_resume(tmp_path):
+    """Round-1 advisor (low): appending to an existing log must continue
+    per-env episode numbering past the ids already in the file."""
+    from cartpoleplusplus_tpu.eventlog import next_episode_ids
+
+    p = tmp_path / "resume.cpe"
+    w = EventLogWriter(str(p), use_native=False)
+    sink = EpisodeSink(w, num_envs=2)
+    t, b = 6, 2
+    state = np.zeros((t, b, 3), np.float32)
+    action = np.zeros((t, b, 2), np.float32)
+    reward = np.ones((t, b), np.float32)
+    done = np.zeros((t, b), bool)
+    done[1, 0] = done[4, 0] = True   # env0 completes episodes 0 and 1
+    done[2, 1] = True                # env1 completes episode 0
+    sink.add_rollout(state, action, reward, done)
+    w.close()
+
+    ids = next_episode_ids(str(p), 2)
+    # env0's trailing censored segment was written under episode_id 2 and
+    # env1's under 1 — the next FRESH ids must not collide with either.
+    np.testing.assert_array_equal(ids, [3, 2])
+    # ids for envs never seen in the log start at 0.
+    np.testing.assert_array_equal(next_episode_ids(str(p), 4)[2:], [0, 0])
+
+    w2 = EventLogWriter(str(p), append=True)
+    sink2 = EpisodeSink(w2, num_envs=2, initial_episode_ids=ids)
+    sink2.add_rollout(state, action, reward, np.zeros((t, b), bool))
+    w2.close()
+    chunks = [r for k, r in read_records(str(p)) if k == "chunk"]
+    pairs = [(c["env_id"], c["episode_id"]) for c in chunks]
+    assert len(pairs) == len(set(pairs))  # all (env, episode) unique
