@@ -49,6 +49,7 @@ class RunConfig:
     use_mesh: bool = True            # shard envs over all local devices
     learner: str = "spmd"            # spmd (partitioner) | shardmap (explicit)
     eval_only: bool = False          # restore from ckpt_dir, evaluate, exit
+    final_eval: bool = False         # greedy-policy eval line after training
     eval_steps: int = 400            # env-steps per eval run
     eval_render: str = ""            # with --eval-only: dump frames of env 0 here
     profile_dir: str = ""            # empty = no profiler trace

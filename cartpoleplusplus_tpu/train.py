@@ -232,6 +232,14 @@ def main(argv=None) -> int:
 
     if run.profile_dir:
         jax.profiler.stop_trace()
+    if run.final_eval:
+        # Honest post-training report: deterministic-policy episode stats
+        # (exact completed-episode accounting, agents/common.py) as one
+        # last JSON line with eval_-prefixed keys.
+        stats = jax.jit(agent.evaluate, static_argnums=(1, 2))(
+            state, run.eval_steps, run.seed + 1)
+        print(json.dumps({"eval_" + k: float(np.asarray(v))
+                          for k, v in stats.items()}), flush=True)
     if mgr is not None:
         mgr.wait_until_finished()
         mgr.close()
