@@ -46,6 +46,7 @@ class RunConfig:
     ckpt_interval: int = 100         # train_steps between saves
     ckpt_full: bool = True           # False = weights-only (exclude replay)
     event_log: str = ""              # empty = no event log
+    event_log_envs: int = 0          # log only the first k envs (0 = all)
     use_mesh: bool = True            # shard envs over all local devices
     learner: str = "spmd"            # spmd (partitioner) | shardmap (explicit)
     eval_only: bool = False          # restore from ckpt_dir, evaluate, exit

@@ -68,13 +68,19 @@ def state_partition_specs(state, mesh):
     return type(state)(**specs)
 
 
-def make_shardmap_train_step(local_agent, mesh, state_template):
+def make_shardmap_train_step(local_agent, mesh, state_template,
+                             capture: bool = False):
     """Jitted shard_map train step.
 
     local_agent: built with the PER-SHARD env (num_envs/mesh.size) and
     `dist_axis=DATA_AXIS, num_shards=mesh.size`.
     state_template: a GLOBAL agent state (from the global-size agent's
     init + shard_agent_state) used to derive partition specs.
+    capture=True additionally returns the rollout chunk in
+    metrics["traj"]: each shard contributes its own envs' time-major
+    (obs, action, reward, done) slabs, stitched on the batch axis by the
+    (None, 'data') out_specs — the event-log sink then sees the same
+    global layout the SPMD path produces.
     """
     if local_agent.dist_axis != DATA_AXIS:
         raise ValueError("local_agent must be built with dist_axis='data'")
@@ -84,11 +90,27 @@ def make_shardmap_train_step(local_agent, mesh, state_template):
     specs = state_partition_specs(state_template, mesh)
 
     def step(state):
-        return local_agent.train_step(state)
+        state, metrics = local_agent.train_step(state, capture=capture)
+        # Split the (per-shard, batch-sharded) trajectory from the
+        # (replicated) scalar metrics: they need different out_specs.
+        traj = metrics.pop("traj") if capture else None
+        return state, metrics, traj
 
-    kwargs = dict(mesh=mesh, in_specs=(specs,), out_specs=(specs, P()))
+    # Trajectories are time-major: axis 0 = rollout step, axis 1 = the
+    # sharded env batch.
+    traj_specs = (P(None, DATA_AXIS),) * 4 if capture else None
+    kwargs = dict(mesh=mesh, in_specs=(specs,),
+                  out_specs=(specs, P(), traj_specs))
     try:
         body = shard_map(step, check_vma=False, **kwargs)
     except TypeError:  # pre-0.8 fallback uses check_rep
         body = shard_map(step, check_rep=False, **kwargs)
-    return jax.jit(body, donate_argnums=(0,))
+    jitted = jax.jit(body, donate_argnums=(0,))
+
+    def wrapped(state):
+        state, metrics, traj = jitted(state)
+        if capture:
+            metrics["traj"] = traj
+        return state, metrics
+
+    return wrapped

@@ -11,6 +11,7 @@ for (/root/repo/BASELINE.json:11).
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -26,29 +27,49 @@ from .mesh import (
 _BATCH_FIELDS = frozenset({"replay", "env_state", "obs", "noise"})
 
 
-def shard_agent_state(state, mesh):
-    """Place an agent TrainState on the mesh: batch fields sharded on
-    'data', parameters / optimizer / scalars replicated."""
-    rep = replicated_sharding(mesh)
+def _leaf_placements(state, mesh):
+    """NamedSharding pytree mirroring shard_agent_state's placement rule
+    (batch-field array leaves with a shardable leading axis on 'data',
+    everything else replicated) without moving any data."""
+    bs, rep = batch_sharding(mesh), replicated_sharding(mesh)
+
+    def batch_leaf(x):
+        x = jax.numpy.asarray(x)
+        return (bs if x.ndim >= 1 and x.shape[0] > 1
+                and x.shape[0] % mesh.size == 0 else rep)
+
     out = {}
     for name, value in state._asdict().items():
-        if name in _BATCH_FIELDS:
-            out[name] = shard_batch_tree(value, mesh)
-        else:
-            out[name] = jax.tree.map(
-                lambda x: jax.device_put(jax.numpy.asarray(x), rep), value)
+        out[name] = jax.tree.map(
+            batch_leaf if name in _BATCH_FIELDS else lambda _: rep, value)
     return type(state)(**out)
 
 
-def make_distributed_train_step(agent, mesh):
-    """Jitted SPMD train_step. Use with a state from `shard_agent_state`;
-    output shardings are pinned so the state layout is stable across steps
-    (required for donation)."""
+def shard_agent_state(state, mesh):
+    """Place an agent TrainState on the mesh: batch fields sharded on
+    'data', parameters / optimizer / scalars replicated."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(jax.numpy.asarray(x), s),
+        state, _leaf_placements(state, mesh))
 
-    def step(state):
-        return agent.train_step(state)
 
-    return jax.jit(step, donate_argnums=(0,))
+def make_distributed_train_step(agent, mesh, state_template=None,
+                                capture: bool = False):
+    """Jitted SPMD train_step. Use with a state from `shard_agent_state`.
+
+    When `state_template` is given, the OUTPUT state shardings are pinned
+    to the same placement rule the input uses, so the layout is stable
+    across steps by construction (donation then reuses buffers
+    in-place) rather than by trusting the partitioner to round-trip it.
+    Metric outputs stay unconstrained (a None subtree) — the partitioner
+    picks; capture=True threads the rollout chunk through as
+    metrics["traj"] for the event-log sink.
+    """
+    step = functools.partial(agent.train_step, capture=capture)
+    if state_template is None:
+        return jax.jit(step, donate_argnums=(0,))
+    out_shardings = (_leaf_placements(state_template, mesh), None)
+    return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
 
 
 def measure_rollout_rate(env, num_steps: int = 256, repeats: int = 3,

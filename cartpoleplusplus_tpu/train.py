@@ -128,9 +128,6 @@ def main(argv=None) -> int:
             print(f"--learner shardmap needs num_envs divisible by the "
                   f"{mesh.size}-device mesh", file=sys.stderr)
             return 2
-        elif run.event_log:
-            print("event-log capture is unsupported with --learner "
-                  "shardmap; ignoring --event-log", file=sys.stderr)
 
     mgr = None
     start_call = 0
@@ -177,19 +174,28 @@ def main(argv=None) -> int:
         return 0
 
     sink = None
-    if run.event_log and not use_shardmap:
+    log_envs = run.num_envs
+    if run.event_log:
         from .eventlog import EpisodeSink, EventLogWriter, next_episode_ids
+        # Per-env sampling: at production batch sizes the host-side sink
+        # is the ceiling (docs/design.md §13); logging the first k envs
+        # keeps tracing usable at 4096+ envs (per-env randomness is a
+        # function of the global env index, so env identity is stable).
+        if run.event_log_envs > 0:
+            log_envs = min(run.event_log_envs, run.num_envs)
         appending = start_call > 0 and os.path.exists(run.event_log)
         # On append, continue episode numbering past the ids already in
         # the file — (env_id, episode_id) pairs must stay unique.
-        seed_ids = (next_episode_ids(run.event_log, run.num_envs)
+        seed_ids = (next_episode_ids(run.event_log, log_envs)
                     if appending else None)
         writer = EventLogWriter(
             run.event_log,
             metadata={"run": dataclasses.asdict(run),
-                      "env": dataclasses.asdict(env.params)},
+                      "env": dataclasses.asdict(env.params),
+                      "obs_shape": list(env.obs_shape),
+                      "logged_envs": log_envs},
             append=appending)
-        sink = EpisodeSink(writer, run.num_envs,
+        sink = EpisodeSink(writer, log_envs,
                            obs_as_frames=env.obs_mode == "pixels",
                            initial_episode_ids=seed_ids)
 
@@ -204,7 +210,14 @@ def main(argv=None) -> int:
         local_agent = agent_cls(local_env, agent.cfg,
                                 dist_axis=DATA_AXIS,
                                 num_shards=mesh.size)
-        step = make_shardmap_train_step(local_agent, mesh, state)
+        step = make_shardmap_train_step(local_agent, mesh, state,
+                                        capture=sink is not None)
+    elif mesh is not None:
+        # SPMD path on a mesh: pin output state shardings to the input
+        # placement (stable layout + in-place donation by construction).
+        from .dist import make_distributed_train_step
+        step = make_distributed_train_step(agent, mesh, state,
+                                           capture=sink is not None)
     else:
         step = agent.make_train_step(capture=sink is not None)
 
@@ -218,8 +231,12 @@ def main(argv=None) -> int:
         state, metrics = step(state)
         if sink is not None:
             obs_t, act_t, rew_t, done_t = metrics.pop("traj")
-            sink.add_rollout(np.asarray(obs_t), np.asarray(act_t),
-                             np.asarray(rew_t), np.asarray(done_t))
+            # Device-side slice to the logged env subset BEFORE the host
+            # fetch (event_log_envs sampling costs no transfer bandwidth).
+            sink.add_rollout(np.asarray(obs_t[:, :log_envs]),
+                             np.asarray(act_t[:, :log_envs]),
+                             np.asarray(rew_t[:, :log_envs]),
+                             np.asarray(done_t[:, :log_envs]))
         if mgr is not None:
             mgr.save(i, state)
         if (i + 1) % run.log_interval == 0 or i == n_calls - 1:

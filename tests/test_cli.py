@@ -122,6 +122,67 @@ def test_train_main_shardmap_learner(capsys):
     assert np.isfinite(lines[-1]["critic_loss"])
 
 
+def test_shardmap_learner_with_eventlog(tmp_path, capsys):
+    """Round-1 gap: --event-log now works under --learner shardmap (each
+    shard's trajectory slab is stitched on the batch axis by shard_map
+    out_specs). Per-env step totals in the log must add up exactly."""
+    log = tmp_path / "sm.cpe"
+    rc = main(["--agent", "ddpg", "--num-envs", "32",
+               "--total-env-steps", "4", "--log-interval", "1",
+               "--learner", "shardmap", "--event-log", str(log),
+               "--ddpg.hidden", "16", "--ddpg.rollout-steps", "2",
+               "--ddpg.updates-per-step", "1", "--ddpg.batch-size", "16",
+               "--ddpg.replay-capacity-per-env", "8",
+               "--ddpg.warmup-env-steps", "0"])
+    assert rc == 0
+    assert validate(str(log)) >= 1
+    chunks = [r for k, r in read_records(str(log)) if k == "chunk"]
+    assert sum(len(c["reward"]) for c in chunks) == 4 * 32
+    assert {c["env_id"] for c in chunks} == set(range(32))
+
+
+def test_eventlog_env_sampling(tmp_path, capsys):
+    """--event-log-envs k logs only the first k envs (docs/design.md §13
+    scalability valve)."""
+    log = tmp_path / "sampled.cpe"
+    rc = main(["--agent", "dqn", "--num-envs", "16",
+               "--total-env-steps", "4", "--log-interval", "1",
+               "--event-log", str(log), "--event-log-envs", "3",
+               "--dqn.hidden", "16", "--dqn.rollout-steps", "2",
+               "--dqn.updates-per-step", "1", "--dqn.batch-size", "16",
+               "--dqn.replay-capacity-per-env", "8",
+               "--dqn.warmup-env-steps", "0"])
+    assert rc == 0
+    recs = list(read_records(str(log)))
+    meta = [r for k, r in recs if k == "metadata"][0]
+    assert meta["logged_envs"] == 3
+    chunks = [r for k, r in recs if k == "chunk"]
+    assert {c["env_id"] for c in chunks} == {0, 1, 2}
+    assert sum(len(c["reward"]) for c in chunks) == 4 * 3
+
+
+def test_eventlog_png_dump(tmp_path, capsys):
+    """Pixel-obs event logs dump per-step PNG/PPM images via the CLI
+    (reference event_log.py reader parity — SURVEY.md §3.5)."""
+    import glob
+
+    from cartpoleplusplus_tpu.eventlog.__main__ import main as elmain
+    log = tmp_path / "px.cpe"
+    rc = main(["--agent", "ddpg", "--num-envs", "8", "--obs-mode", "pixels",
+               "--total-env-steps", "2", "--log-interval", "1",
+               "--event-log", str(log), "--event-log-envs", "1",
+               "--ddpg.hidden", "8", "--ddpg.rollout-steps", "2",
+               "--ddpg.updates-per-step", "1", "--ddpg.batch-size", "8",
+               "--ddpg.replay-capacity-per-env", "8",
+               "--ddpg.warmup-env-steps", "0"])
+    assert rc == 0
+    out_dir = tmp_path / "png"
+    elmain(["dump", str(log), "--frames", str(out_dir), "--png"])
+    capsys.readouterr()
+    imgs = glob.glob(str(out_dir / "ep*_env0_t*"))
+    assert len(imgs) == 2  # one image per logged step
+
+
 def test_train_then_eval_only(tmp_path, capsys):
     """Train briefly with checkpoints, then --eval-only restores and
     reports deterministic-policy episode statistics."""
