@@ -44,19 +44,22 @@ from .replay import ReplayBuffer, ReplayState
 
 @dataclasses.dataclass(frozen=True)
 class DDPGConfig:
+    # Defaults are the round-2 TPU sweep winner (BASELINE.md learning
+    # table): 40k per-env steps at 1024 envs reaches deterministic eval
+    # mean episode length 200/200 (pole balanced to the cap).
     hidden: tuple = (256, 256)
     actor_lr: float = 1e-4
     critic_lr: float = 1e-3
     gamma: float = 0.99
-    tau: float = 0.005               # Polyak rate
+    tau: float = 0.01                # Polyak rate
     batch_size: int = 256            # learner minibatch
     rollout_steps: int = 8           # env-steps per train_step
-    updates_per_step: int = 8        # gradient updates per train_step
+    updates_per_step: int = 16       # gradient updates per train_step
     replay_capacity_per_env: int = 1024
     ou_theta: float = 0.15           # OU mean-reversion
     ou_sigma: float = 0.2            # OU noise scale
-    ou_sigma_min: float = 0.05       # floor after decay
-    ou_sigma_decay_env_steps: int = 6000  # linear decay horizon (0 = constant)
+    ou_sigma_min: float = 0.02       # floor after decay
+    ou_sigma_decay_env_steps: int = 20000  # linear decay horizon (0 = constant)
     warmup_env_steps: int = 16       # slots to fill before learning starts
     dtype: str = "float32"           # network compute dtype ("bfloat16" on TPU)
 
