@@ -36,8 +36,12 @@ def main():
     from cartpoleplusplus_tpu.physics.params import continuous_params
 
     # BENCH_CONFIG=continuous benches config 3 (pushes + shaped reward);
+    # BENCH_CONFIG=ddpg benches the END-TO-END actor-learner train step
+    # (fused Pallas actor rollout + replay + gradient updates);
     # default is the discrete config-2 shape (BASELINE.json:8).
     config = os.environ.get("BENCH_CONFIG", "discrete")
+    if config == "ddpg":
+        return bench_ddpg(num_envs, num_steps)
     params = continuous_params() if config == "continuous" \
         else CartPoleParams()
     env = CartPole3D(params, num_envs=num_envs)
@@ -64,6 +68,53 @@ def main():
         "vs_baseline": round(stats["env_steps_per_sec"] / target, 4),
     }))
     print(json.dumps(stats), file=sys.stderr)
+
+
+def bench_ddpg(num_envs: int, num_steps: int):
+    """End-to-end DDPG actor-learner env-steps/s (VERDICT round-1 top
+    item): full train_step = fused Pallas actor rollout + device replay
+    insert + gradient updates, at the winning config's sample-to-data
+    ratio (0.5). Timing is synchronized by a device->host metric read
+    (the tunneled platform's block_until_ready returns on enqueue)."""
+    import time
+
+    import jax
+
+    from cartpoleplusplus_tpu import CartPole3D
+    from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    rollout = int(os.environ.get("BENCH_DDPG_ROLLOUT", "32"))
+    updates = int(os.environ.get("BENCH_DDPG_UPDATES", "64"))
+    batch = int(os.environ.get("BENCH_DDPG_BATCH", "1024"))
+    env = CartPole3D(continuous_params(), num_envs=num_envs)
+    agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
+                                 updates_per_step=updates,
+                                 batch_size=batch, warmup_env_steps=0))
+    st = agent.init(0)
+    step = agent.make_train_step()  # auto-selects the fused kernel on TPU
+    st, m = step(st)
+    _ = float(m["reward_mean"])  # D2H sync after compile
+    n_calls = max(num_steps // rollout, 1)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            st, m = step(st)
+        _ = float(m["reward_mean"])
+        best = min(best, time.perf_counter() - t0)
+    rate = n_calls * rollout * num_envs / best
+    target = 10_000_000.0
+    print(json.dumps({
+        "metric": f"ddpg_train_env_steps_per_sec_{num_envs}envs",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / target, 4),
+    }))
+    print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
+                      "batch_size": batch, "n_calls": n_calls,
+                      "best_s": round(best, 3),
+                      "fused": agent.fusable()}), file=sys.stderr)
 
 
 if __name__ == "__main__":

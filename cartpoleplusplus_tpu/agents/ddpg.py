@@ -227,27 +227,42 @@ class DDPG:
                                num_steps)
 
     # --- the fused actor-learner step ---------------------------------------
-    def train_step(self, st: DDPGState, capture: bool = False) -> tuple[DDPGState, dict]:
+    def train_step(self, st: DDPGState, capture: bool = False,
+                   fused: bool = False) -> tuple[DDPGState, dict]:
         """rollout_steps env-steps + replay insert + updates_per_step
-        gradient updates, as one jit-able program."""
+        gradient updates, as one jit-able program.
+
+        fused=True runs the rollout through the Pallas actor-in-the-loop
+        kernel (ops/policy_rollout.py) instead of the XLA env scan —
+        numerically twinned (tests/test_policy_rollout.py), an order of
+        magnitude faster on TPU (BASELINE.md round-2 throughput table).
+        """
         c = self.cfg
         rng = st.rng
         sigma = self._sigma(st.env_steps)
 
-        def env_body(carry, t):
-            env_state, obs, noise = carry
-            noise = self._ou_step(noise, env_state.env_seed, t, sigma)
-            action = self.act(st.actor, obs, noise)
-            env_state, next_obs, reward, done, _ = self.env.step(
-                env_state, action)
-            # Reset the OU state of envs that finished (fresh episode).
-            noise = jnp.where(done[:, None], 0.0, noise)
-            return ((env_state, next_obs, noise),
-                    (obs, action, reward, done))
+        if fused:
+            from ..ops.policy_rollout import policy_rollout
+            run = policy_rollout(self.env, tuple(c.hidden), c.ou_theta,
+                                 c.rollout_steps)
+            env_state, obs, noise, traj = run(
+                st.env_state, st.obs, st.noise, st.actor, st.env_steps,
+                sigma)
+        else:
+            def env_body(carry, t):
+                env_state, obs, noise = carry
+                noise = self._ou_step(noise, env_state.env_seed, t, sigma)
+                action = self.act(st.actor, obs, noise)
+                env_state, next_obs, reward, done, _ = self.env.step(
+                    env_state, action)
+                # Reset the OU state of envs that finished (fresh episode).
+                noise = jnp.where(done[:, None], 0.0, noise)
+                return ((env_state, next_obs, noise),
+                        (obs, action, reward, done))
 
-        (env_state, obs, noise), traj = jax.lax.scan(
-            env_body, (st.env_state, st.obs, st.noise),
-            st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
+            (env_state, obs, noise), traj = jax.lax.scan(
+                env_body, (st.env_state, st.obs, st.noise),
+                st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
@@ -272,9 +287,24 @@ class DDPG:
         metrics["env_steps"] = env_steps
         return st, metrics
 
-    def make_train_step(self, capture: bool = False):
+    def fusable(self) -> bool:
+        """Whether the Pallas actor-in-the-loop rollout covers this
+        env/config shape (ops/policy_rollout.py)."""
+        from ..ops.policy_rollout import fusable
+        return fusable(self.env, tuple(self.cfg.hidden))
+
+    def make_train_step(self, capture: bool = False, fused=None):
         """Jitted train_step with donated state. capture=True additionally
         returns the rollout chunk in metrics["traj"] (time-major
-        (obs, action, reward, done)) for the event-log sink."""
-        return jax.jit(functools.partial(self.train_step, capture=capture),
+        (obs, action, reward, done)) for the event-log sink. fused=None
+        auto-selects the Pallas actor-rollout kernel on TPU when the
+        shape is coverable (single-device or per-shard batches only —
+        under the SPMD partitioner a pallas_call cannot be re-sharded)."""
+        if fused is None:
+            fused = (self.fusable()
+                     and jax.default_backend() == "tpu"
+                     and (self.dist_axis is not None
+                          or len(jax.devices()) == 1))
+        return jax.jit(functools.partial(self.train_step, capture=capture,
+                                         fused=fused),
                        donate_argnums=(0,))

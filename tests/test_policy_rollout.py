@@ -1,0 +1,91 @@
+"""Fused actor-rollout kernel parity (ops/policy_rollout.py).
+
+The fused kernel must be a numerical twin of the production env scan:
+same actor math (flax ActorMLP), same OU counter streams, same
+termination/reset ordering. Interpret mode on the CPU mesh (SURVEY.md §4
+fixture strategy; hardware parity is covered by the bench path).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cartpoleplusplus_tpu import CartPole3D
+from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
+from cartpoleplusplus_tpu.ops.policy_rollout import (
+    fusable,
+    policy_rollout,
+    reference_policy_rollout,
+)
+from cartpoleplusplus_tpu.physics.params import continuous_params
+
+HIDDEN = (32, 32)
+T = 3
+
+
+def _agent(num_envs=1024):
+    env = CartPole3D(continuous_params(), num_envs=num_envs)
+    return DDPG(env, DDPGConfig(hidden=HIDDEN, rollout_steps=T,
+                                warmup_env_steps=0))
+
+
+def test_fused_rollout_matches_env_scan():
+    agent = _agent()
+    st = agent.init(0)
+    fused = policy_rollout(agent.env, HIDDEN, agent.cfg.ou_theta, T,
+                           interpret=True)
+    ref = reference_policy_rollout(agent, T)
+    sigma = jnp.float32(0.2)
+    env_steps = jnp.int32(0)
+
+    f_state, f_obs, f_noise, f_traj = jax.jit(fused)(
+        st.env_state, st.obs, st.noise, st.actor, env_steps, sigma)
+    r_state, r_obs, r_noise, r_traj = jax.jit(ref)(
+        st.env_state, st.obs, st.noise, st.actor, env_steps, sigma)
+
+    for name, f, r in [("obs", f_traj[0], r_traj[0]),
+                       ("action", f_traj[1], r_traj[1]),
+                       ("reward", f_traj[2], r_traj[2])]:
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(f_traj[3]),
+                                  np.asarray(r_traj[3]))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        (f_state.phys, f_obs, f_noise), (r_state.phys, r_obs, r_noise))
+    np.testing.assert_array_equal(np.asarray(f_state.steps),
+                                  np.asarray(r_state.steps))
+    np.testing.assert_array_equal(np.asarray(f_state.episode),
+                                  np.asarray(r_state.episode))
+
+
+def test_fused_rollout_continues_counters():
+    """Second chunk (env_steps offset) keeps OU streams aligned with the
+    scan path — the counters, not call boundaries, define the noise."""
+    agent = _agent()
+    st = agent.init(0)
+    sigma = jnp.float32(0.1)
+    fused = policy_rollout(agent.env, HIDDEN, agent.cfg.ou_theta, T,
+                           interpret=True)
+    ref = reference_policy_rollout(agent, T)
+    f1 = jax.jit(fused)(st.env_state, st.obs, st.noise, st.actor,
+                        jnp.int32(0), sigma)
+    r1 = jax.jit(ref)(st.env_state, st.obs, st.noise, st.actor,
+                      jnp.int32(0), sigma)
+    f2 = jax.jit(fused)(f1[0], f1[1], f1[2], st.actor, jnp.int32(T), sigma)
+    r2 = jax.jit(ref)(r1[0], r1[1], r1[2], st.actor, jnp.int32(T), sigma)
+    np.testing.assert_allclose(np.asarray(f2[3][1]), np.asarray(r2[3][1]),
+                               rtol=2e-4, atol=2e-5)  # actions, chunk 2
+
+
+def test_fusable_gate():
+    agent = _agent()
+    assert fusable(agent.env, HIDDEN)
+    assert not fusable(CartPole3D(continuous_params(), num_envs=100),
+                       HIDDEN)  # batch not lane-aligned
+    from cartpoleplusplus_tpu import CartPoleParams
+    assert not fusable(CartPole3D(CartPoleParams(), num_envs=1024),
+                       HIDDEN)  # discrete
+    assert not fusable(CartPole3D(continuous_params(), num_envs=1024,
+                                  obs_mode="state"), HIDDEN)
