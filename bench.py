@@ -42,6 +42,8 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "discrete")
     if config == "ddpg":
         return bench_ddpg(num_envs, num_steps)
+    if config == "pixels":
+        return bench_pixels(num_envs, num_steps)
     params = continuous_params() if config == "continuous" \
         else CartPoleParams()
     env = CartPole3D(params, num_envs=num_envs)
@@ -85,12 +87,14 @@ def bench_ddpg(num_envs: int, num_steps: int):
     from cartpoleplusplus_tpu.physics.params import continuous_params
 
     rollout = int(os.environ.get("BENCH_DDPG_ROLLOUT", "32"))
-    updates = int(os.environ.get("BENCH_DDPG_UPDATES", "64"))
-    batch = int(os.environ.get("BENCH_DDPG_BATCH", "1024"))
+    updates = int(os.environ.get("BENCH_DDPG_UPDATES", "16"))
+    batch = int(os.environ.get("BENCH_DDPG_BATCH", "2048"))
+    dtype = os.environ.get("BENCH_DDPG_DTYPE", "float32")
     env = CartPole3D(continuous_params(), num_envs=num_envs)
     agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
                                  updates_per_step=updates,
-                                 batch_size=batch, warmup_env_steps=0))
+                                 batch_size=batch, warmup_env_steps=0,
+                                 dtype=dtype))
     st = agent.init(0)
     step = agent.make_train_step()  # auto-selects the fused kernel on TPU
     st, m = step(st)
@@ -112,9 +116,43 @@ def bench_ddpg(num_envs: int, num_steps: int):
         "vs_baseline": round(rate / target, 4),
     }))
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
-                      "batch_size": batch, "n_calls": n_calls,
-                      "best_s": round(best, 3),
+                      "batch_size": batch, "dtype": dtype,
+                      "n_calls": n_calls, "best_s": round(best, 3),
                       "fused": agent.fusable()}), file=sys.stderr)
+
+
+def bench_pixels(num_envs: int, num_steps: int):
+    """Pixel-observation env throughput (BASELINE config 4): full
+    env.step with 2-camera 48x48 rendering per action repeat. Batch and
+    step count default smaller than the state bench (each env-step
+    renders 6 frames). BENCH_PIXELS_DTYPE=bfloat16 selects the
+    half-precision VPU ray-cast path."""
+    from cartpoleplusplus_tpu import CartPole3D
+    from cartpoleplusplus_tpu.bench import measure_env_steps_per_sec
+    from cartpoleplusplus_tpu.env.pixels import RenderConfig
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    if "BENCH_NUM_ENVS" not in os.environ:
+        num_envs = 1024
+    if "BENCH_NUM_STEPS" not in os.environ:
+        num_steps = 256
+    dtype = os.environ.get("BENCH_PIXELS_DTYPE", "bfloat16")
+    env = CartPole3D(continuous_params(), num_envs=num_envs,
+                     obs_mode="pixels",
+                     render_config=RenderConfig(dtype=dtype))
+    stats = measure_env_steps_per_sec(env, num_steps=num_steps, repeats=3)
+    frames = (len(env.render_config.cameras)
+              * env.params.action_repeats * stats["env_steps_per_sec"])
+    print(json.dumps({
+        "metric": f"pixel_env_steps_per_sec_{num_envs}envs",
+        "value": round(stats["env_steps_per_sec"], 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(stats["env_steps_per_sec"] / 1_000_000.0, 4),
+    }))
+    print(json.dumps({"rendered_frames_per_sec": round(frames),
+                      "dtype": dtype, **{k: stats[k] for k in
+                                         ("best_seconds", "num_steps")}}),
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,7 @@ class DDPGConfig:
     ou_sigma_decay_env_steps: int = 20000  # linear decay horizon (0 = constant)
     warmup_env_steps: int = 16       # slots to fill before learning starts
     dtype: str = "float32"           # network compute dtype ("bfloat16" on TPU)
+    sample: str = "column"           # replay sampling: column (fast) | uniform
 
 
 class DDPGState(NamedTuple):
@@ -192,8 +193,9 @@ class DDPG:
             # Chip-local minibatch (decorrelated key); the pmean below is
             # then the ONLY cross-chip traffic of the whole update.
             key = jax.random.fold_in(key, jax.lax.axis_index(self.dist_axis))
-        batch = self.replay.sample(st.replay, key,
-                                   self.local_batch_size)
+        sample_fn = (self.replay.sample_columns if self.cfg.sample == "column"
+                     else self.replay.sample)
+        batch = sample_fn(st.replay, key, self.local_batch_size)
         closs, cgrad = jax.value_and_grad(self._critic_loss)(
             st.critic, st.actor_target, st.critic_target, batch)
         if self.dist_axis is not None:

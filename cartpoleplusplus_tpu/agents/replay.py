@@ -117,13 +117,95 @@ class ReplayBuffer:
 
     def add_trajectory(self, rs: ReplayState, obs, action, reward,
                        done) -> ReplayState:
-        """Insert a time-major rollout chunk: obs (T, B, obs_dim) etc."""
+        """Insert a time-major rollout chunk: obs (T, B, obs_dim) etc.
 
-        def body(carry, tr):
-            return self.add(carry, *tr), None
+        Fast path (the one that runs in practice): when the chunk length
+        divides the capacity and the cursor is chunk-aligned — always
+        true when the buffer is fed only by fixed-length rollouts — the
+        whole chunk lands as ONE batch-major dynamic_update_slice. The
+        per-step scan fallback is kept for odd shapes/cursors, but on
+        TPU XLA materializes a full ring copy per scan iteration
+        (measured 28.5 ms/chunk vs ~2 ms for the slice at 4096 envs x
+        32 steps — the round-1 end-to-end bottleneck).
+        """
+        t = obs.shape[0]
 
-        rs, _ = jax.lax.scan(body, rs, (obs, action, reward, done))
-        return rs
+        def slow(rs):
+            def body(carry, tr):
+                return self.add(carry, *tr), None
+
+            rs, _ = jax.lax.scan(body, rs, (obs, action, reward, done))
+            return rs
+
+        if self.capacity % t != 0 or t > self.capacity:
+            return slow(rs)
+
+        def fast(rs):
+            i = rs.cursor
+
+            def put(buf, rows):
+                rows = jnp.moveaxis(rows.astype(buf.dtype), 0, 1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, rows, i, axis=1)
+
+            return ReplayState(
+                obs=put(rs.obs, self._encode_obs(obs)),
+                action=put(rs.action, action),
+                reward=put(rs.reward, reward),
+                done=put(rs.done, done),
+                cursor=(i + t) % self.capacity,
+                filled=jnp.minimum(rs.filled + t, self.capacity),
+            )
+
+        return jax.lax.cond(rs.cursor % t == 0, fast, slow, rs)
+
+    def sample_columns(self, rs: ReplayState, key, batch_size: int):
+        """Column minibatch: whole ring COLUMNS (one random valid slot x
+        all envs) instead of independent (env, slot) pairs.
+
+        Rationale (measured, round 2): `sample`'s per-row gather costs
+        ~0.3 us/row on TPU regardless of dtype — at production batch
+        sizes the learner becomes gather-bound (it was ~10 ms of the
+        13 ms fused train step). A column is k static dynamic-slices —
+        DMA-friendly, ~free. Statistically the batch stays diverse: the
+        envs are thousands of INDEPENDENT chains (decorrelated pushes
+        and resets by per-env counter RNG), so a synchronized column is
+        an iid sample across envs; temporal diversity comes from drawing
+        fresh slots every update. Validated: the column-sampling DDPG
+        reaches the same eval-200/200 balancing as uniform (BASELINE.md).
+
+        batch_size rows are returned: ceil(batch/B) columns, trimmed at
+        a random env offset when batch_size is not a multiple of B.
+        """
+        b = self.num_envs
+        k = -(-batch_size // b)  # columns needed
+        k_slot, k_env = jax.random.split(key)
+        n_valid = jnp.maximum(rs.filled - 1, 1)
+        ages = jax.random.randint(k_slot, (k,), 1, n_valid + 1)
+        slots = (rs.cursor - 1 - ages) % self.capacity
+
+        def col(buf, s):
+            return jax.lax.dynamic_slice_in_dim(buf, s, 1, axis=1)[:, 0]
+
+        def cols(buf, ss):
+            return jnp.concatenate([col(buf, ss[i]) for i in range(k)], 0)
+
+        obs = self._decode_obs(cols(rs.obs, slots))
+        next_obs = self._decode_obs(cols(rs.obs, (slots + 1) % self.capacity))
+        action = cols(rs.action, slots)
+        reward = cols(rs.reward, slots)
+        done = cols(rs.done, slots)
+        batch = (obs, action, reward, next_obs, done)
+        if batch_size == k * b:
+            return batch
+        # Trim to batch_size at a random offset (wrap via double-concat).
+        off = jax.random.randint(k_env, (), 0, k * b)
+
+        def trim(x):
+            return jax.lax.dynamic_slice_in_dim(
+                jnp.concatenate([x, x], 0), off, batch_size, axis=0)
+
+        return tuple(trim(x) for x in batch)
 
     def sample(self, rs: ReplayState, key, batch_size: int):
         """Uniform minibatch of (obs, action, reward, next_obs, done).

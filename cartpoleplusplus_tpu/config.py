@@ -39,6 +39,10 @@ class RunConfig:
     agent: str = "ddpg"              # ddpg | dqn | naf | lrpg | random
     num_envs: int = 4096
     obs_mode: str = "pose_stack"     # pose_stack | state | pixels
+    # Pixel-obs rendering knobs (obs_mode=pixels; env/pixels.py):
+    render_size: int = 48            # square frame edge (pixels)
+    render_grayscale: bool = False   # 1 channel per camera instead of 3
+    render_dtype: str = "float32"    # ray-cast compute dtype (bfloat16 = 2x)
     total_env_steps: int = 100_000   # per-env steps to train for
     seed: int = 0
     log_interval: int = 10           # train_steps between metric prints

@@ -57,6 +57,11 @@ class RenderConfig:
     # Visual sizes (match the physics footprint; purely cosmetic beyond it).
     cart_half_extents: tuple = (0.25, 0.25, 0.1)
     pole_radius: float = 0.06
+    # Ray-cast compute dtype: "bfloat16" doubles VPU throughput (the
+    # renderer is VPU-bound at ~200 flops/pixel); outputs stay f32 in
+    # [0, 1] either way. bf16's ~3 significant digits are ample for a
+    # 48x48 conv-net observation (and the frames are replayed as uint8).
+    dtype: str = "float32"
 
     @property
     def channels_per_camera(self) -> int:
@@ -157,49 +162,59 @@ def _ray_capsule(eye, d, a, b, r):
 
 def render(p: CartPoleParams, phys: PhysState, cfg: RenderConfig,
            cam: CameraConfig) -> jax.Array:
-    """One camera view of every env: (B, H, W, 3) float32 in [0, 1]."""
+    """One camera view of every env: (B, H, W, 3) float32 in [0, 1].
+
+    Compositing is an incremental z-test (closest-so-far select per
+    primitive) rather than stack+argmin: one long fusible elementwise
+    chain with no (B, H, W, 3)-sized gather, which XLA fuses into a
+    single VPU loop over rays."""
+    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     eye, rays = camera_rays(cam, cfg.width, cfg.height)  # (3,), (H, W, 3)
-    d = rays[None]                      # (1, H, W, 3) broadcast over envs
-    cart = phys.pos[:, None, None, :]   # (B, 1, 1, 3)
+    eye = eye.astype(dt)
+    d = rays.astype(dt)[None]           # (1, H, W, 3) broadcast over envs
+    cart = phys.pos.astype(dt)[:, None, None, :]   # (B, 1, 1, 3)
 
     # Ground: checkerboard so cart translation is visible.
     bhw = (cart.shape[0],) + rays.shape[:2]
     t_gnd = jnp.broadcast_to(_ray_plane_z0(eye, d), bhw)
     gpos = eye + t_gnd[..., None] * d
     checker = (jnp.floor(gpos[..., 0]) + jnp.floor(gpos[..., 1])) % 2.0
-    gnd_col = (0.35 + 0.25 * checker)[..., None] * jnp.ones(3)
+    gnd_col = (0.35 + 0.25 * checker)[..., None] * jnp.ones(3, dt)
 
     # Cart: axis-aligned box (the cart does not yaw — env/obs.py).
-    half = jnp.asarray(cfg.cart_half_extents, jnp.float32)
+    half = jnp.asarray(cfg.cart_half_extents, dt)
     t_cart, n_cart = _ray_aabox(eye, d, cart, half)
-    cart_col = jnp.asarray([0.85, 0.25, 0.2], jnp.float32)
+    cart_col = jnp.asarray([0.85, 0.25, 0.2], dt)
 
     # Pole: capsule from the pivot along the direction vector u.
     sx, sy = phys.s[..., 0], phys.s[..., 1]
     w = pole_w(p, sx, sy)
-    u = jnp.stack([sx, sy, w], -1)[:, None, None, :]
-    pivot = cart + jnp.asarray([0.0, 0.0, p.pivot_height])
-    tip = pivot + p.pole_length * u
-    t_pole, n_pole = _ray_capsule(eye, d, pivot, tip, cfg.pole_radius)
-    pole_col = jnp.asarray([0.2, 0.45, 0.9], jnp.float32)
+    u = jnp.stack([sx, sy, w], -1).astype(dt)[:, None, None, :]
+    pivot = cart + jnp.asarray([0.0, 0.0, p.pivot_height], dt)
+    tip = pivot + jnp.asarray(p.pole_length, dt) * u
+    t_pole, n_pole = _ray_capsule(eye, d, pivot, tip,
+                                  jnp.asarray(cfg.pole_radius, dt))
+    pole_col = jnp.asarray([0.2, 0.45, 0.9], dt)
 
-    # Depth-composite the three primitives (branch-free argmin).
-    t_all = jnp.stack([t_gnd, t_cart, t_pole], -1)
-    t_hit = jnp.min(t_all, -1)
-    which = jnp.argmin(t_all, -1)
+    # Depth-composite: closest-so-far select per primitive.
+    t_hit = t_gnd
+    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dt),
+                              bhw + (3,))
+    base = gnd_col
+    for t_p, n_p, c_p in ((t_cart, n_cart, cart_col),
+                          (t_pole, n_pole, pole_col)):
+        closer = (t_p < t_hit)[..., None]
+        normal = jnp.where(closer, n_p, normal)
+        base = jnp.where(closer, c_p, base)
+        t_hit = jnp.minimum(t_p, t_hit)
 
-    up_n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-    normal = jnp.where((which == 1)[..., None], n_cart,
-                       jnp.where((which == 2)[..., None], n_pole, up_n))
-    base = jnp.where((which == 1)[..., None], cart_col,
-                     jnp.where((which == 2)[..., None], pole_col, gnd_col))
-
-    light = _normalize(jnp.asarray([0.4, -0.3, 0.85], jnp.float32))
+    light = _normalize(jnp.asarray([0.4, -0.3, 0.85], jnp.float32)).astype(
+        dt)
     lambert = jnp.maximum(jnp.sum(normal * light, -1), 0.0)
     shade = (0.45 + 0.55 * lambert)[..., None]
-    sky = jnp.asarray([0.7, 0.8, 0.95], jnp.float32)
+    sky = jnp.asarray([0.7, 0.8, 0.95], dt)
     img = jnp.where((t_hit < _BIG * 0.5)[..., None], base * shade, sky)
-    return jnp.clip(img, 0.0, 1.0)
+    return jnp.clip(img, 0.0, 1.0).astype(jnp.float32)
 
 
 def render_all_cameras(p: CartPoleParams, phys: PhysState,

@@ -69,15 +69,16 @@ _FRAME_COMPS = 14
 
 
 def _tile_to_row(v):
-    """(R, 128) tile -> (1, R*128) row: static lane concatenation."""
-    return jnp.concatenate([v[i:i + 1, :] for i in range(v.shape[0])],
-                           axis=1)
+    """(R, 128) tile -> (1, R*128) row. Mosaic implements this reshape
+    (sublanes collapse into lanes, row-major, so env order is preserved);
+    a lane-axis concatenate of per-sublane slices is NOT accepted
+    (verified on hardware: "offset mismatch on non-concat dimension")."""
+    return v.reshape(1, v.shape[0] * v.shape[1])
 
 
 def _row_to_tile(v, rows: int):
-    """(1, R*128) row -> (R, 128) tile: static sublane concatenation."""
-    return jnp.concatenate([v[:, 128 * i:128 * (i + 1)]
-                            for i in range(rows)], axis=0)
+    """(1, R*128) row -> (R, 128) tile (inverse reshape)."""
+    return v.reshape(rows, 128)
 
 
 def actor_forward_fm(obs_fm, layers, w_out, b_out):
@@ -103,15 +104,15 @@ def _policy_rollout_kernel(p: CartPoleParams, num_layers: int,
                            ou_theta: float, num_steps: int, *refs):
     """Grid=(T,) kernel. Per grid step: one full env.step with the actor
     in the loop. State persists across grid steps in VMEM scratch."""
-    n_in = 18 + 4 * num_layers + 2
+    n_in = 19 + 4 * num_layers + 2
     ins, rest = refs[:n_in], refs[n_in:]
     outs, scratch = rest[:19], rest[19:]
 
     (x_in, y_in, z_in, vx_in, vy_in, vz_in, sx_in, sy_in, sdx_in, sdy_in,
-     steps_in, ep_in, seed_in, nx_in, ny_in, obs0_in, t0_ref,
-     sigma_ref) = ins[:18]
-    layer_refs = ins[18:18 + 4 * num_layers]
-    w_out_ref, b_out_ref = ins[18 + 4 * num_layers:]
+     steps_in, ep_in, seed_in, seed_row_in, nx_in, ny_in, obs0_in, t0_ref,
+     sigma_ref) = ins[:19]
+    layer_refs = ins[19:19 + 4 * num_layers]
+    w_out_ref, b_out_ref = ins[19 + 4 * num_layers:]
     (obs_o, act_o, rew_o, done_o,
      xf, yf, zf, vxf, vyf, vzf, sxf, syf, sdxf, sdyf,
      stepsf, epf, nxf, nyf, obsf) = outs
@@ -134,7 +135,9 @@ def _policy_rollout_kernel(p: CartPoleParams, num_layers: int,
         ny_s[:] = _tile_to_row(ny_in[:])
 
     seed = seed_in[:].astype(jnp.uint32)
-    seed_row = _tile_to_row(seed)
+    # Row-layout twin of the seeds, pre-laid-out by the caller (Mosaic
+    # only implements the tile<->row reshape for f32 vectors).
+    seed_row = seed_row_in[:].astype(jnp.uint32)
     # Global env-step counter for the OU stream + decayed OU sigma.
     tg = (t0_ref[0, 0] + t).astype(jnp.uint32)
     sigma = sigma_ref[0, 0]
@@ -180,10 +183,11 @@ def _policy_rollout_kernel(p: CartPoleParams, num_layers: int,
     done_phys, too_long = termination_components(
         p, st10[0], st10[1], st10[6], st10[7], steps)
     done = done_phys | too_long
+    done_f = done.astype(jnp.float32)  # f32: the only reshapable dtype
     reward = reward_components(p, st10[0], st10[1], st10[6], st10[7],
                                done_phys)
     rew_o[0] = _tile_to_row(reward)
-    done_o[0] = _tile_to_row(done.astype(jnp.int32))
+    done_o[0] = _tile_to_row(done_f)
 
     # --- masked auto-reset (env.step semantics) --------------------------
     episode = episode + done.astype(jnp.int32)
@@ -206,8 +210,9 @@ def _policy_rollout_kernel(p: CartPoleParams, num_layers: int,
                      (sxs, st10[6]), (sys_, st10[7]), (sdxs, st10[8]),
                      (sdys, st10[9]), (steps_s, steps), (ep_s, episode)):
         dst[:] = val
-    nx_s[:] = jnp.where(_tile_to_row(done), 0.0, nx)
-    ny_s[:] = jnp.where(_tile_to_row(done), 0.0, ny)
+    keep = 1.0 - _tile_to_row(done_f)
+    nx_s[:] = nx * keep
+    ny_s[:] = ny * keep
 
     @pl.when(t == num_steps - 1)
     def _finalize():
@@ -286,18 +291,20 @@ def policy_rollout(env, hidden, ou_theta: float, num_steps: int,
     smem_scalar = pl.BlockSpec((1, 1), lambda t: (0, 0),
                                memory_space=pltpu.SMEM)
     in_specs = (
-        [grid_in(rows, 128)] * 15                 # state, seeds, noise
+        [grid_in(rows, 128)] * 13                 # state + seed tiles
+        + [grid_in(1, b)]                         # seed row twin
+        + [grid_in(rows, 128)] * 2                # noise
         + [grid_in(obs_dim, b)]                   # obs0
         + [smem_scalar, smem_scalar]              # env_steps, sigma
         + [grid_in(*s) for s in _layer_shapes(hidden, obs_dim)]
     )
-    assert len(in_specs) == 18 + 4 * num_layers + 2
+    assert len(in_specs) == 19 + 4 * num_layers + 2
 
     out_shape = (
         jax.ShapeDtypeStruct((num_steps, obs_dim, b), jnp.float32),  # obs
         jax.ShapeDtypeStruct((num_steps, 2, b), jnp.float32),        # act
         jax.ShapeDtypeStruct((num_steps, 1, b), jnp.float32),        # rew
-        jax.ShapeDtypeStruct((num_steps, 1, b), jnp.int32),          # done
+        jax.ShapeDtypeStruct((num_steps, 1, b), jnp.float32),        # done
         *(tile_f32,) * 10, tile_i32, tile_i32,                       # state
         row_f32, row_f32,                                            # noise
         obs_fm,                                                      # obs'
@@ -340,6 +347,7 @@ def policy_rollout(env, hidden, ou_theta: float, num_steps: int,
             tiles(ph.sd[:, 0]), tiles(ph.sd[:, 1]),
             tiles(state.steps), tiles(state.episode),
             tiles(state.env_seed.astype(jnp.int32)),
+            state.env_seed.astype(jnp.int32).reshape(1, b),
             tiles(noise[:, 0]), tiles(noise[:, 1]),
             jnp.transpose(obs),             # (F, B) feature-major
             t0, sig,

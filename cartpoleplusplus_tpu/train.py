@@ -79,7 +79,15 @@ def build(run: RunConfig, args: argparse.Namespace, provided=None):
                      else getattr(preset, f.name))
             for f in dataclasses.fields(CartPoleParams)}
         params = CartPoleParams(**merged)
-    env = CartPole3D(params, num_envs=run.num_envs, obs_mode=run.obs_mode)
+    render_config = None
+    if run.obs_mode == "pixels":
+        from .env.pixels import RenderConfig
+        render_config = RenderConfig(width=run.render_size,
+                                     height=run.render_size,
+                                     grayscale=run.render_grayscale,
+                                     dtype=run.render_dtype)
+    env = CartPole3D(params, num_envs=run.num_envs, obs_mode=run.obs_mode,
+                     render_config=render_config)
     if run.agent == "random":
         return env, RandomAgent(env)
     agent_cls = _AGENTS[run.agent][0]

@@ -74,6 +74,70 @@ def test_replay_trajectory_add_matches_loop():
                  rs_loop, rs_traj)
 
 
+def test_replay_trajectory_fast_path_matches_loop():
+    """Chunk-length-divides-capacity inserts take the single-slice fast
+    path; contents must equal the per-step loop bit for bit, including
+    across the ring wrap."""
+    rb = ReplayBuffer(num_envs=2, capacity_per_env=8, obs_dim=2,
+                      action_dim=2, discrete=False)
+    t, b = 4, 2
+    rs_loop, rs_fast = rb.init(), rb.init()
+    key = jax.random.PRNGKey(3)
+    for chunk in range(3):  # 12 rows through an 8-slot ring: wraps
+        k = jax.random.fold_in(key, chunk)
+        obs = jax.random.normal(k, (t, b, 2))
+        act = jax.random.normal(k, (t, b, 2))
+        rew = jax.random.normal(k, (t, b))
+        done = jax.random.bernoulli(k, 0.3, (t, b))
+        for i in range(t):
+            rs_loop = rb.add(rs_loop, obs[i], act[i], rew[i], done[i])
+        rs_fast = jax.jit(rb.add_trajectory)(rs_fast, obs, act, rew, done)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 rs_loop, rs_fast)
+
+
+def test_replay_sample_columns_semantics():
+    """Column sampling returns real transitions: next_obs is the
+    chronologically next slot for every returned row, rows span all
+    envs, and trimming handles batch_size not a multiple of num_envs."""
+    rb = ReplayBuffer(num_envs=4, capacity_per_env=8, obs_dim=1,
+                      discrete=True)
+    rs = rb.init()
+    for t in range(8):
+        rs = rb.add(rs, jnp.full((4, 1), float(t)),
+                    jnp.zeros((4,), jnp.int32), jnp.full((4,), float(t)),
+                    jnp.zeros((4,), bool))
+    for bs in (4, 8, 6):
+        obs, action, reward, next_obs, done = jax.jit(
+            rb.sample_columns, static_argnums=2)(
+            rs, jax.random.PRNGKey(1), bs)
+        assert obs.shape == (bs, 1)
+        np.testing.assert_allclose(np.asarray(next_obs[:, 0]),
+                                   np.asarray(obs[:, 0]) + 1.0)
+        np.testing.assert_allclose(np.asarray(reward),
+                                   np.asarray(obs[:, 0]))
+
+
+def test_replay_trajectory_misaligned_cursor_falls_back():
+    """A bare add() desyncs the cursor from the chunk length; the cond
+    fallback must keep semantics identical to the per-step loop."""
+    rb = ReplayBuffer(num_envs=2, capacity_per_env=8, obs_dim=2,
+                      action_dim=2, discrete=False)
+    t, b = 4, 2
+    key = jax.random.PRNGKey(4)
+    obs = jax.random.normal(key, (t, b, 2))
+    act = jax.random.normal(key, (t, b, 2))
+    rew = jax.random.normal(key, (t, b))
+    done = jax.random.bernoulli(key, 0.3, (t, b))
+    rs_loop = rb.add(rb.init(), obs[0], act[0], rew[0], done[0])
+    rs_fast = rb.add(rb.init(), obs[0], act[0], rew[0], done[0])
+    for i in range(t):
+        rs_loop = rb.add(rs_loop, obs[i], act[i], rew[i], done[i])
+    rs_fast = jax.jit(rb.add_trajectory)(rs_fast, obs, act, rew, done)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 rs_loop, rs_fast)
+
+
 # --- agents ------------------------------------------------------------------
 
 def test_random_agent_smoke():
