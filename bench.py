@@ -75,9 +75,10 @@ def main():
 def bench_ddpg(num_envs: int, num_steps: int):
     """End-to-end DDPG actor-learner env-steps/s (VERDICT round-1 top
     item): full train_step = fused Pallas actor rollout + device replay
-    insert + gradient updates, at the winning config's sample-to-data
-    ratio (0.5). Timing is synchronized by a device->host metric read
-    (the tunneled platform's block_until_ready returns on enqueue)."""
+    insert + gradient updates, at a cadence validated to balance the
+    pole (BASELINE.md round-2 learning table). Timing is synchronized by
+    a device->host metric read (the tunneled platform's
+    block_until_ready returns on enqueue)."""
     import time
 
     import jax
@@ -86,9 +87,9 @@ def bench_ddpg(num_envs: int, num_steps: int):
     from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
     from cartpoleplusplus_tpu.physics.params import continuous_params
 
-    rollout = int(os.environ.get("BENCH_DDPG_ROLLOUT", "32"))
-    updates = int(os.environ.get("BENCH_DDPG_UPDATES", "16"))
-    batch = int(os.environ.get("BENCH_DDPG_BATCH", "2048"))
+    rollout = int(os.environ.get("BENCH_DDPG_ROLLOUT", "64"))
+    updates = int(os.environ.get("BENCH_DDPG_UPDATES", "8"))
+    batch = int(os.environ.get("BENCH_DDPG_BATCH", "8192"))
     dtype = os.environ.get("BENCH_DDPG_DTYPE", "float32")
     env = CartPole3D(continuous_params(), num_envs=num_envs)
     agent = DDPG(env, DDPGConfig(rollout_steps=rollout,

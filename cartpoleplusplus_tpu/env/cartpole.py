@@ -192,7 +192,15 @@ class CartPole3D:
     def render(self, phys: PhysState) -> jax.Array:
         """All-camera view of the current physical state:
         (B, H, W, 3 * num_cameras) float32 in [0, 1]. The TPU-native
-        counterpart of pybullet.getCameraImage (env/pixels.py)."""
+        counterpart of pybullet.getCameraImage. On TPU with kernel-
+        coverable shapes the Pallas raycast kernel runs (single VMEM
+        pass, ops/render_kernel.py); elsewhere the XLA twin — both call
+        the same env/pixels.py::shade_components math."""
+        if jax.default_backend() == "tpu":
+            from ..ops.render_kernel import pallas_render_all, renderable
+            if renderable(self.render_config, self.num_envs):
+                return pallas_render_all(self.params, self.render_config,
+                                         self.num_envs)(phys)
         return render_all_cameras(self.params, phys, self.render_config)
 
     # --- episode API ---------------------------------------------------------

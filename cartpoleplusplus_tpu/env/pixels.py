@@ -68,153 +68,192 @@ class RenderConfig:
         return 1 if self.grayscale else 3
 
 
-def _normalize(v):
-    return v / jnp.linalg.norm(v)
+# Scene constants shared by the jnp path and the Pallas render kernel
+# (ops/render_kernel.py). numpy scalars so kernels capture no device
+# constants (same rule as env/compute.py).
+_LIGHT = (0.4, -0.3, 0.85)
+_CART_COL = (0.85, 0.25, 0.2)
+_POLE_COL = (0.2, 0.45, 0.9)
+_SKY_COL = (0.7, 0.8, 0.95)
 
 
-def camera_rays(cam: CameraConfig, width: int, height: int):
-    """(H, W, 3) unit ray directions + (3,) origin, world frame.
+def _light_np():
+    import numpy as np
 
-    Pure constants under jit (the camera is static configuration).
+    l = np.asarray(_LIGHT, np.float32)
+    return tuple(np.float32(v) for v in (l / np.sqrt((l * l).sum())))
+
+
+def ray_constants_np(cam: CameraConfig, width: int, height: int):
+    """Numpy mirror of camera_rays, flattened: ((ex, ey, ez),
+    (dx, dy, dz), (inv_dx, inv_dy, inv_dz)) with d*/inv_* of shape
+    (1, H*W) f32. Static per camera — kernel operands, not traced."""
+    import math as m
+
+    import numpy as np
+
+    eye = np.asarray(cam.eye, np.float32)
+    fwd = np.asarray(cam.target, np.float32) - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(cam.up, np.float32))
+    right = right / np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    tan = m.tan(m.radians(cam.fov_deg) / 2.0)
+    xs = (np.arange(width, dtype=np.float32) + 0.5) / width * 2.0 - 1.0
+    ys = 1.0 - (np.arange(height, dtype=np.float32) + 0.5) / height * 2.0
+    d = (fwd[None, None]
+         + xs[None, :, None] * (tan * right)[None, None]
+         + ys[:, None, None] * (tan * height / width * up)[None, None])
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d.reshape(-1, 3).astype(np.float32)
+    guard = np.where(np.abs(d) < 1e-9, 1e-9, d)
+    inv = (1.0 / guard).astype(np.float32)
+    return (tuple(np.float32(v) for v in eye),
+            tuple(d[None, :, i] for i in range(3)),
+            tuple(inv[None, :, i] for i in range(3)))
+
+
+def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
+                     dx, dy, dz, idx_, idy_, idz_,
+                     cx, cy, cz, ux, uy, uz):
+    """The full per-pixel raycast + Lambert shade, all-elementwise.
+
+    Single math source for the XLA path and the Pallas kernel
+    (ops/render_kernel.py) — the env/compute.py pattern applied to
+    rendering. Ray components (dx, dy, dz) and their reciprocals
+    broadcast against env components (cx..uz); every op is elementwise
+    on the broadcast shape (the VPU's native form; no (..., 3) vectors,
+    no stack/argmin). Returns (r, g, b) in [0, 1].
     """
-    eye = jnp.asarray(cam.eye, jnp.float32)
-    fwd = _normalize(jnp.asarray(cam.target, jnp.float32) - eye)
-    right = _normalize(jnp.cross(fwd, jnp.asarray(cam.up, jnp.float32)))
-    up = jnp.cross(right, fwd)
-    tan = math.tan(math.radians(cam.fov_deg) / 2.0)
-    # Pixel centers, y down (image convention), square pixels.
-    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
-    px = xs[None, :, None] * (tan * right)
-    py = ys[:, None, None] * (tan * height / width * up)
-    d = _normalize_rows(fwd + px + py)
-    return eye, d
+    import numpy as np
 
+    f = np.float32
+    one = f(1.0)
+    ex, ey, ez = (f(eye[0]), f(eye[1]), f(eye[2]))
+    lx, ly, lz = _light_np()
+    big = f(_BIG)
 
-def _normalize_rows(v):
-    return v * jax.lax.rsqrt(jnp.sum(v * v, -1, keepdims=True))
+    # --- ground plane z=0: constant normal -> constant Lambert shade.
+    t_g = f(-1.0) * f(ez) * idz_
+    t_g = jnp.where((dz < f(-1e-6)) & (t_g > f(0.0)), t_g, big)
+    checker = jnp.mod(jnp.floor(ex + t_g * dx) + jnp.floor(ey + t_g * dy),
+                      f(2.0))
+    shade_up = f(0.45 + 0.55 * max(float(lz), 0.0))
+    g_lum = (f(0.35) + f(0.25) * checker) * shade_up
 
+    # --- cart: axis-aligned slab test, face-normal Lambert.
+    hx, hy, hz = (f(v) for v in cfg.cart_half_extents)
+    lox = (cx - hx - ex) * idx_
+    hix = (cx + hx - ex) * idx_
+    loy = (cy - hy - ey) * idy_
+    hiy = (cy + hy - ey) * idy_
+    loz = (cz - hz - ez) * idz_
+    hiz = (cz + hz - ez) * idz_
+    tnx = jnp.minimum(lox, hix)
+    txx = jnp.maximum(lox, hix)
+    tny = jnp.minimum(loy, hiy)
+    txy = jnp.maximum(loy, hiy)
+    tnz = jnp.minimum(loz, hiz)
+    txz = jnp.maximum(loz, hiz)
+    t_near = jnp.maximum(tnx, jnp.maximum(tny, tnz))
+    t_far = jnp.minimum(txx, jnp.minimum(txy, txz))
+    hit = (t_near <= t_far) & (t_far > f(0.0))
+    t_c = jnp.where(hit, jnp.where(t_near > f(0.0), t_near, t_far), big)
+    nl_c = jnp.where(
+        tnx == t_near, -jnp.sign(dx) * lx,
+        jnp.where(tny == t_near, -jnp.sign(dy) * ly, -jnp.sign(dz) * lz))
+    shade_c = f(0.45) + f(0.55) * jnp.maximum(nl_c, f(0.0))
 
-def _ray_plane_z0(eye, d):
-    """Distance to the z=0 ground plane (+inf if missed)."""
-    t = -eye[2] / d[..., 2]
-    return jnp.where((d[..., 2] < -1e-6) & (t > 0.0), t, _BIG)
-
-
-def _ray_aabox(eye, d, center, half):
-    """Slab-method ray vs axis-aligned box. center: (..., 3) per env
-    broadcast against rays; returns (t, normal)."""
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
-    lo = (center - half - eye) * inv
-    hi = (center + half - eye) * inv
-    tmin = jnp.minimum(lo, hi)
-    tmax = jnp.maximum(lo, hi)
-    t_near = jnp.max(tmin, axis=-1)
-    t_far = jnp.min(tmax, axis=-1)
-    hit = (t_near <= t_far) & (t_far > 0.0)
-    t = jnp.where(hit, jnp.where(t_near > 0.0, t_near, t_far), _BIG)
-    # Normal: the axis achieving t_near, signed against the ray.
-    is_axis = (tmin == t_near[..., None]).astype(jnp.float32)
-    normal = _normalize_rows(is_axis * -jnp.sign(d) + 1e-9)
-    return t, normal
-
-
-def _ray_capsule(eye, d, a, b, r):
-    """Ray vs capsule from a to b with radius r (branch-free closed form).
-
-    Infinite-cylinder quadratic clamped to the segment, plus the two
-    sphere caps; the minimum positive root wins.
-    """
-    ba = b - a
-    oa = eye - a
-    baba = jnp.sum(ba * ba, -1)
-    bard = jnp.sum(ba * d, -1)
-    baoa = jnp.sum(ba * oa, -1)
-    rdoa = jnp.sum(d * oa, -1)
-    oaoa = jnp.sum(oa * oa, -1)
-    a2 = baba - bard * bard
-    b2 = baba * rdoa - baoa * bard
-    c2 = baba * oaoa - baoa * baoa - r * r * baba
+    # --- pole: capsule pivot -> tip (|u| = 1, so |b-a|^2 = L^2 static).
+    ll = f(p.pole_length)
+    l2 = f(p.pole_length * p.pole_length)
+    r = f(cfg.pole_radius)
+    ax = cx
+    ay = cy
+    az = cz + f(p.pivot_height)
+    oax = ex - ax
+    oay = ey - ay
+    oaz = ez - az
+    bard = ll * (ux * dx + uy * dy + uz * dz)
+    baoa = ll * (ux * oax + uy * oay + uz * oaz)
+    rdoa = dx * oax + dy * oay + dz * oaz
+    oaoa = oax * oax + oay * oay + oaz * oaz
+    a2 = l2 - bard * bard
+    b2 = l2 * rdoa - baoa * bard
+    c2 = l2 * oaoa - baoa * baoa - r * r * l2
     h = b2 * b2 - a2 * c2
-    sqrt_h = jnp.sqrt(jnp.maximum(h, 0.0))
-    t_cyl = (-b2 - sqrt_h) / jnp.where(jnp.abs(a2) < 1e-9, 1e-9, a2)
+    sq = jnp.sqrt(jnp.maximum(h, f(0.0)))
+    a2g = jnp.where(jnp.abs(a2) < f(1e-9), f(1e-9), a2)
+    t_cyl = (f(-1.0) * b2 - sq) / a2g
     y = baoa + t_cyl * bard
-    cyl_ok = (h > 0.0) & (y > 0.0) & (y < baba) & (t_cyl > 0.0)
-
-    def sphere(center):
-        oc = eye - center
-        bq = jnp.sum(d * oc, -1)
-        cq = jnp.sum(oc * oc, -1) - r * r
+    cyl_ok = (h > f(0.0)) & (y > f(0.0)) & (y < l2) & (t_cyl > f(0.0))
+    t_p = jnp.where(cyl_ok, t_cyl, big)
+    for sx_, sy_, sz_ in ((oax, oay, oaz),
+                          (oax - ll * ux, oay - ll * uy, oaz - ll * uz)):
+        bq = dx * sx_ + dy * sy_ + dz * sz_
+        cq = sx_ * sx_ + sy_ * sy_ + sz_ * sz_ - r * r
         hq = bq * bq - cq
-        t = -bq - jnp.sqrt(jnp.maximum(hq, 0.0))
-        return jnp.where((hq > 0.0) & (t > 0.0), t, _BIG)
+        ts = f(-1.0) * bq - jnp.sqrt(jnp.maximum(hq, f(0.0)))
+        t_p = jnp.minimum(t_p, jnp.where((hq > f(0.0)) & (ts > f(0.0)),
+                                         ts, big))
+    px_ = oax + t_p * dx
+    py_ = oay + t_p * dy
+    pz_ = oaz + t_p * dz
+    h_along = jnp.clip((px_ * ux + py_ * uy + pz_ * uz) / ll, f(0.0), one)
+    nx_ = px_ - h_along * ll * ux
+    ny_ = py_ - h_along * ll * uy
+    nz_ = pz_ - h_along * ll * uz
+    nl_p = ((nx_ * lx + ny_ * ly + nz_ * lz)
+            * jax.lax.rsqrt(nx_ * nx_ + ny_ * ny_ + nz_ * nz_ + f(1e-12)))
+    shade_p = f(0.45) + f(0.55) * jnp.maximum(nl_p, f(0.0))
 
-    t = jnp.where(cyl_ok, t_cyl, _BIG)
-    t = jnp.minimum(t, jnp.minimum(sphere(a), sphere(b)))
-
-    # Normal at the hit point.
-    pos = eye + t[..., None] * d
-    h_along = jnp.clip(jnp.sum((pos - a) * ba, -1) / baba, 0.0, 1.0)
-    axis_pt = a + h_along[..., None] * ba
-    normal = _normalize_rows(pos - axis_pt)
-    return t, normal
+    # --- composite: closest-so-far (same order as render()).
+    ccr, ccg, ccb = (f(v) for v in _CART_COL)
+    pcr, pcg, pcb = (f(v) for v in _POLE_COL)
+    skr, skg, skb = (f(v) for v in _SKY_COL)
+    t_hit = t_g
+    cr, cg_, cb = g_lum, g_lum, g_lum
+    closer = t_c < t_hit
+    cr = jnp.where(closer, ccr * shade_c, cr)
+    cg_ = jnp.where(closer, ccg * shade_c, cg_)
+    cb = jnp.where(closer, ccb * shade_c, cb)
+    t_hit = jnp.minimum(t_c, t_hit)
+    closer = t_p < t_hit
+    cr = jnp.where(closer, pcr * shade_p, cr)
+    cg_ = jnp.where(closer, pcg * shade_p, cg_)
+    cb = jnp.where(closer, pcb * shade_p, cb)
+    t_hit = jnp.minimum(t_p, t_hit)
+    sky = t_hit >= f(_BIG * 0.5)
+    cr = jnp.where(sky, skr, cr)
+    cg_ = jnp.where(sky, skg, cg_)
+    cb = jnp.where(sky, skb, cb)
+    clip01 = lambda v: jnp.clip(v, f(0.0), one)  # noqa: E731
+    return clip01(cr), clip01(cg_), clip01(cb)
 
 
 def render(p: CartPoleParams, phys: PhysState, cfg: RenderConfig,
            cam: CameraConfig) -> jax.Array:
     """One camera view of every env: (B, H, W, 3) float32 in [0, 1].
 
-    Compositing is an incremental z-test (closest-so-far select per
-    primitive) rather than stack+argmin: one long fusible elementwise
-    chain with no (B, H, W, 3)-sized gather, which XLA fuses into a
-    single VPU loop over rays."""
+    Thin broadcast wrapper over `shade_components` (the single math
+    source, shared with the Pallas render kernel ops/render_kernel.py):
+    env components as (B, 1) columns against (1, H*W) ray-constant rows,
+    one fused elementwise VPU program, reshaped to images at the end."""
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    eye, rays = camera_rays(cam, cfg.width, cfg.height)  # (3,), (H, W, 3)
-    eye = eye.astype(dt)
-    d = rays.astype(dt)[None]           # (1, H, W, 3) broadcast over envs
-    cart = phys.pos.astype(dt)[:, None, None, :]   # (B, 1, 1, 3)
+    eye, dcomp, icomp = ray_constants_np(cam, cfg.width, cfg.height)
+    rays = [jnp.asarray(c, dt) for c in dcomp + icomp]  # (1, HW) each
 
-    # Ground: checkerboard so cart translation is visible.
-    bhw = (cart.shape[0],) + rays.shape[:2]
-    t_gnd = jnp.broadcast_to(_ray_plane_z0(eye, d), bhw)
-    gpos = eye + t_gnd[..., None] * d
-    checker = (jnp.floor(gpos[..., 0]) + jnp.floor(gpos[..., 1])) % 2.0
-    gnd_col = (0.35 + 0.25 * checker)[..., None] * jnp.ones(3, dt)
-
-    # Cart: axis-aligned box (the cart does not yaw — env/obs.py).
-    half = jnp.asarray(cfg.cart_half_extents, dt)
-    t_cart, n_cart = _ray_aabox(eye, d, cart, half)
-    cart_col = jnp.asarray([0.85, 0.25, 0.2], dt)
-
-    # Pole: capsule from the pivot along the direction vector u.
+    b = phys.pos.shape[0]
+    col = lambda v: v.astype(dt)[:, None]  # noqa: E731 - (B, 1) column
     sx, sy = phys.s[..., 0], phys.s[..., 1]
     w = pole_w(p, sx, sy)
-    u = jnp.stack([sx, sy, w], -1).astype(dt)[:, None, None, :]
-    pivot = cart + jnp.asarray([0.0, 0.0, p.pivot_height], dt)
-    tip = pivot + jnp.asarray(p.pole_length, dt) * u
-    t_pole, n_pole = _ray_capsule(eye, d, pivot, tip,
-                                  jnp.asarray(cfg.pole_radius, dt))
-    pole_col = jnp.asarray([0.2, 0.45, 0.9], dt)
-
-    # Depth-composite: closest-so-far select per primitive.
-    t_hit = t_gnd
-    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dt),
-                              bhw + (3,))
-    base = gnd_col
-    for t_p, n_p, c_p in ((t_cart, n_cart, cart_col),
-                          (t_pole, n_pole, pole_col)):
-        closer = (t_p < t_hit)[..., None]
-        normal = jnp.where(closer, n_p, normal)
-        base = jnp.where(closer, c_p, base)
-        t_hit = jnp.minimum(t_p, t_hit)
-
-    light = _normalize(jnp.asarray([0.4, -0.3, 0.85], jnp.float32)).astype(
-        dt)
-    lambert = jnp.maximum(jnp.sum(normal * light, -1), 0.0)
-    shade = (0.45 + 0.55 * lambert)[..., None]
-    sky = jnp.asarray([0.7, 0.8, 0.95], dt)
-    img = jnp.where((t_hit < _BIG * 0.5)[..., None], base * shade, sky)
-    return jnp.clip(img, 0.0, 1.0).astype(jnp.float32)
+    r, g, bl = shade_components(
+        p, cfg, eye, *rays,
+        col(phys.pos[..., 0]), col(phys.pos[..., 1]),
+        col(phys.pos[..., 2]), col(sx), col(sy), col(w))
+    img = jnp.stack([r, g, bl], axis=-1).reshape(
+        b, cfg.height, cfg.width, 3)
+    return img.astype(jnp.float32)
 
 
 def render_all_cameras(p: CartPoleParams, phys: PhysState,

@@ -1,0 +1,118 @@
+"""Pallas TPU kernel: the per-pixel raycast renderer in one VMEM pass.
+
+Round-1/2 measurement: the XLA renderer is HBM-traffic-bound — every
+(B, H, W, 3)-shaped intermediate of the ray cast spills ~28 MB per
+camera at 1024 envs, and the pixel env tops out at 240-350k env-steps/s
+while the VPU sits mostly idle. This kernel evaluates the ENTIRE
+raycast + shade pipeline (env/pixels.py::shade_components — the single
+math source, unchanged) on (env-block, n_pixels) VMEM tiles: env
+components broadcast down sublanes, per-pixel ray constants along
+lanes, zero intermediate HBM traffic. Only the final RGB rows are
+written out.
+
+Reference counterpart: pybullet.getCameraImage's TinyRenderer — the
+C++ software rasterizer the reference called per frame (SURVEY.md §2a;
+reference mount empty this session).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..env.pixels import CameraConfig, RenderConfig, ray_constants_np
+from ..env import pixels as _px
+from ..physics import CartPoleParams, PhysState, pole_w
+
+_ENV_BLOCK = 8  # envs per grid step (f32 sublane tile)
+
+
+def renderable(cfg: RenderConfig, num_envs: int) -> bool:
+    """Kernel coverage: lane-aligned pixel count, sublane-aligned batch."""
+    return (cfg.width * cfg.height) % 128 == 0 and \
+        num_envs % _ENV_BLOCK == 0
+
+
+def _render_cam_kernel(p: CartPoleParams, cfg: RenderConfig, eye, dt,
+                       cx_ref, cy_ref, cz_ref, ux_ref, uy_ref, uz_ref,
+                       dx_ref, dy_ref, dz_ref, ix_ref, iy_ref, iz_ref,
+                       r_ref, g_ref, b_ref):
+    rays = [ref[:].astype(dt) for ref in
+            (dx_ref, dy_ref, dz_ref, ix_ref, iy_ref, iz_ref)]
+    cols = [ref[:].astype(dt) for ref in
+            (cx_ref, cy_ref, cz_ref, ux_ref, uy_ref, uz_ref)]
+    r, g, b = _px.shade_components(p, cfg, eye, *rays, *cols)
+    r_ref[:] = r.astype(jnp.float32)
+    g_ref[:] = g.astype(jnp.float32)
+    b_ref[:] = b.astype(jnp.float32)
+
+
+def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
+                  num_envs: int, interpret: bool = False):
+    """Builder: fn(phys) -> (B, H, W, 3) f32 for one camera, kernelized.
+
+    Same contract as env/pixels.py::render (and the same math — both
+    call shade_components); only the execution strategy differs.
+    """
+    if not renderable(cfg, num_envs):
+        raise ValueError("shape not coverable by the render kernel")
+    npx = cfg.width * cfg.height
+    b = num_envs
+    be = _ENV_BLOCK
+    # In-kernel compute is f32 regardless of cfg.dtype: Mosaic rejects
+    # bf16 vector comparisons (arith.cmpf on the packed 8x128x2 layout,
+    # verified on hardware), and the kernel is VMEM-resident anyway —
+    # bf16's win on the XLA path is halved HBM traffic, which the kernel
+    # has already eliminated.
+    dt = jnp.float32
+    eye, dcomp, icomp = ray_constants_np(cam, cfg.width, cfg.height)
+
+    kernel = functools.partial(_render_cam_kernel, p, cfg, eye, dt)
+    env_col = pl.BlockSpec((be, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    ray_row = pl.BlockSpec((1, npx), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_rows = pl.BlockSpec((be, npx), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(b // be,),
+        out_shape=(jax.ShapeDtypeStruct((b, npx), jnp.float32),) * 3,
+        in_specs=[env_col] * 6 + [ray_row] * 6,
+        out_specs=(out_rows,) * 3,
+        interpret=interpret,
+    )
+
+    def run(phys: PhysState):
+        sx, sy = phys.s[..., 0], phys.s[..., 1]
+        w = pole_w(p, sx, sy)
+        cols = [phys.pos[..., 0], phys.pos[..., 1], phys.pos[..., 2],
+                sx, sy, w]
+        args = [c.astype(jnp.float32)[:, None] for c in cols]
+        args += [jnp.asarray(c) for c in dcomp + icomp]
+        r, g, bl = call(*args)
+        return jnp.stack([r, g, bl], axis=-1).reshape(
+            b, cfg.height, cfg.width, 3)
+
+    return run
+
+
+def pallas_render_all(p: CartPoleParams, cfg: RenderConfig, num_envs: int,
+                      interpret: bool = False):
+    """All cameras stacked on channels — kernel twin of
+    env/pixels.py::render_all_cameras."""
+    fns = [pallas_render(p, cfg, cam, num_envs, interpret=interpret)
+           for cam in cfg.cameras]
+
+    def run(phys: PhysState):
+        views = [f(phys) for f in fns]
+        if cfg.grayscale:
+            views = [jnp.mean(v, -1, keepdims=True) for v in views]
+        return jnp.concatenate(views, axis=-1)
+
+    return run

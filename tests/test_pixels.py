@@ -83,3 +83,23 @@ def test_env_pixels_mode_end_to_end():
     c = 6
     first, last = np.asarray(obs[..., :c]), np.asarray(obs[..., -c:])
     assert np.any(first != last)
+
+
+def test_render_kernel_parity_interpret():
+    """The Pallas raycast kernel is the same shade_components math as
+    the XLA path — images must match to f32 fusion tolerance
+    (interpret mode on CPU; hardware throughput in BENCH)."""
+    from cartpoleplusplus_tpu.ops.render_kernel import (
+        pallas_render_all, renderable)
+    cfg = RenderConfig(width=16, height=16)  # 256 px: lane-aligned
+    assert renderable(cfg, 8)
+    phys = rest_state(P, batch_shape=(8,))
+    phys = phys._replace(
+        pos=phys.pos.at[:, 0].set(jnp.linspace(-1.0, 1.0, 8)),
+        s=phys.s.at[:, 0].set(jnp.linspace(-0.25, 0.25, 8)))
+    ker = jax.jit(pallas_render_all(P, cfg, 8, interpret=True))(phys)
+    ref = jax.jit(lambda ph: render_all_cameras(P, ph, cfg))(phys)
+    assert ker.shape == ref.shape == (8, 16, 16, 6)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert not renderable(RenderConfig(width=10, height=10), 8)
