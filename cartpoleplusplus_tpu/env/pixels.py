@@ -129,12 +129,14 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
 
     f = np.float32
     one = f(1.0)
-    ex, ey, ez = (f(eye[0]), f(eye[1]), f(eye[2]))
+    # eye components may be np scalars (one camera) or (1, npx) rows
+    # (the render kernel concatenates cameras on the pixel axis).
+    ex, ey, ez = eye
     lx, ly, lz = _light_np()
     big = f(_BIG)
 
     # --- ground plane z=0: constant normal -> constant Lambert shade.
-    t_g = f(-1.0) * f(ez) * idz_
+    t_g = f(-1.0) * ez * idz_
     t_g = jnp.where((dz < f(-1e-6)) & (t_g > f(0.0)), t_g, big)
     checker = jnp.mod(jnp.floor(ex + t_g * dx) + jnp.floor(ey + t_g * dy),
                       f(2.0))
