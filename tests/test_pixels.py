@@ -92,18 +92,14 @@ def test_render_kernel_parity_interpret():
     from cartpoleplusplus_tpu.ops.render_kernel import (
         pallas_render_all, renderable)
     cfg = RenderConfig(width=16, height=16)  # 256 px: lane-aligned
-    b = 32  # kernel env-block size
-    assert renderable(cfg, b)
-    phys = rest_state(P, batch_shape=(b,))
+    assert renderable(cfg, 8)
+    phys = rest_state(P, batch_shape=(8,))
     phys = phys._replace(
-        pos=phys.pos.at[:, 0].set(jnp.linspace(-1.0, 1.0, b)),
-        s=phys.s.at[:, 0].set(jnp.linspace(-0.25, 0.25, b)))
-    ker = jax.jit(pallas_render_all(P, cfg, b, interpret=True))(phys)
+        pos=phys.pos.at[:, 0].set(jnp.linspace(-1.0, 1.0, 8)),
+        s=phys.s.at[:, 0].set(jnp.linspace(-0.25, 0.25, 8)))
+    ker = jax.jit(pallas_render_all(P, cfg, 8, interpret=True))(phys)
     ref = jax.jit(lambda ph: render_all_cameras(P, ph, cfg))(phys)
-    assert ker.shape == ref.shape == (b, 16, 16, 6)
-    # eye enters as a per-pixel row in the kernel (camera concat) vs a
-    # folded scalar in the XLA path — identical math, different f32
-    # rounding on a fraction of a percent of border pixels.
+    assert ker.shape == ref.shape == (8, 16, 16, 6)
     np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
-                               rtol=1e-3, atol=1e-3)
-    assert not renderable(RenderConfig(width=10, height=10), 32)
+                               rtol=1e-5, atol=1e-5)
+    assert not renderable(RenderConfig(width=10, height=10), 8)
