@@ -61,5 +61,10 @@ def load():
     lib.eventlog_close.argtypes = [ctypes.c_void_p]
     lib.eventlog_validate.restype = ctypes.c_int64
     lib.eventlog_validate.argtypes = [ctypes.c_char_p]
+    lib.eventlog_open_append.restype = ctypes.c_void_p
+    lib.eventlog_open_append.argtypes = [ctypes.c_char_p]
+    lib.eventlog_episode_index.restype = ctypes.c_int64
+    lib.eventlog_episode_index.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32]
     _lib = lib
     return _lib

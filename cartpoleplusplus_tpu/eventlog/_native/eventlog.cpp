@@ -90,6 +90,24 @@ void* eventlog_open(const char* path) {
   return w;
 }
 
+// Append-mode open: continues an existing log (header is only written
+// for a fresh/empty file). Returns null on IO failure.
+void* eventlog_open_append(const char* path) {
+  FILE* f = fopen(path, "ab");
+  if (!f) return nullptr;
+  long pos = ftell(f);
+  if (pos < 8) {
+    uint32_t hdr[2] = {kMagic, kVersion};
+    if (fwrite(hdr, 4, 2, f) != 2) {
+      fclose(f);
+      return nullptr;
+    }
+  }
+  Writer* w = new Writer();
+  w->f = f;
+  return w;
+}
+
 int eventlog_write_metadata(void* handle, const char* json, uint32_t json_len) {
   Writer* w = static_cast<Writer*>(handle);
   append_scalar<uint32_t>(w->buf, json_len);
@@ -153,6 +171,52 @@ int64_t eventlog_validate(const char* path) {
     if (fread(&crc, 4, 1, f) != 1) goto fail;
     if (crc != crc32_update(0, payload.data(), payload.size())) goto fail;
     if (kind != kKindEpisode && kind != kKindMetadata) goto fail;
+    ++count;
+  }
+  fclose(f);
+  return count;
+fail:
+  fclose(f);
+  return -1;
+}
+
+// Per-env episode index: out_max[e] = highest episode_id seen for env e
+// (unchanged where an env never appears — caller pre-fills with -1).
+// Walks framing only (payload header fields), skipping array bytes with
+// fseek — O(records), not O(bytes). Returns record count, or -1 on
+// corruption / IO error. Resume seeding (writer.py::next_episode_ids)
+// uses this instead of decoding every chunk in Python.
+int64_t eventlog_episode_index(const char* path, int64_t* out_max,
+                               uint32_t num_envs) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  uint32_t hdr[2];
+  if (fread(hdr, 4, 2, f) != 2 || hdr[0] != kMagic || hdr[1] != kVersion) {
+    fclose(f);
+    return -1;
+  }
+  int64_t count = 0;
+  for (;;) {
+    uint32_t kind;
+    if (fread(&kind, 4, 1, f) == 0) break;  // clean EOF
+    uint64_t len;
+    if (fread(&len, 8, 1, f) != 1) goto fail;
+    if (kind == kKindEpisode) {
+      if (len < 28) goto fail;
+      uint64_t episode_id;
+      uint32_t env_id;
+      if (fread(&episode_id, 8, 1, f) != 1) goto fail;
+      if (fread(&env_id, 4, 1, f) != 1) goto fail;
+      if (env_id < num_envs &&
+          (int64_t)episode_id > out_max[env_id]) {
+        out_max[env_id] = (int64_t)episode_id;
+      }
+      if (fseek(f, (long)(len - 12 + 4), SEEK_CUR) != 0) goto fail;
+    } else if (kind == kKindMetadata) {
+      if (fseek(f, (long)(len + 4), SEEK_CUR) != 0) goto fail;
+    } else {
+      goto fail;
+    }
     ++count;
   }
   fclose(f);

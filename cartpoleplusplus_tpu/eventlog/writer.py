@@ -37,19 +37,21 @@ class EventLogWriter:
     def __init__(self, path: str, metadata: dict | None = None,
                  use_native: bool | None = None, append: bool = False):
         """append=True continues an existing log (resume) instead of
-        truncating it; the header is only written for a fresh file. The
-        append path always uses the Python writer (the native engine's C
-        ABI is open-for-write only) — the format is byte-identical."""
+        truncating it; the header is only written for a fresh file.
+        Both modes go through the native C++ engine when available
+        (eventlog_open / eventlog_open_append); the Python fallback is
+        byte-identical."""
         self.path = path
         appending = append and os.path.exists(path) and \
             os.path.getsize(path) >= 8
-        native = (None if appending
-                  else _load_native() if use_native in (None, True) else None)
-        if use_native is True and native is None and not appending:
+        native = _load_native() if use_native in (None, True) else None
+        if use_native is True and native is None:
             raise RuntimeError("native event-log engine unavailable")
         self._native = native
         if native is not None:
-            self._handle = native.eventlog_open(path.encode())
+            self._handle = (native.eventlog_open_append(path.encode())
+                            if appending
+                            else native.eventlog_open(path.encode()))
             if not self._handle:
                 raise OSError(f"cannot open {path}")
             self._file = None
@@ -194,8 +196,18 @@ def next_episode_ids(path: str, num_envs: int) -> np.ndarray:
     """Per-env first-unused episode id in an existing log: max seen + 1
     (a resumed run resets env state, so the trailing in-progress episode
     is abandoned rather than continued — its id must not be reused for
-    unrelated new steps)."""
+    unrelated new steps). Uses the native header-walking index when
+    available (O(records), fseek past array payloads); Python decode
+    fallback otherwise."""
     ids = np.full(num_envs, -1, np.int64)
+    native = _load_native()
+    if native is not None:
+        n = native.eventlog_episode_index(
+            path.encode(), ids.ctypes.data_as(ctypes.c_void_p),
+            np.uint32(num_envs))
+        if n >= 0:
+            return ids + 1
+        ids[:] = -1  # corrupt header walk: fall through to full decode
     for kind, rec in read_records(path):
         if kind == "chunk" and rec["env_id"] < num_envs:
             ids[rec["env_id"]] = max(ids[rec["env_id"]],
