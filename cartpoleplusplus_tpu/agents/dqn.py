@@ -44,6 +44,7 @@ class DQNConfig:
     warmup_env_steps: int = 16
     double_dqn: bool = True
     dtype: str = "float32"
+    sample: str = "column"           # replay sampling: column (fast) | uniform
 
 
 class DQNState(NamedTuple):
@@ -157,7 +158,9 @@ class DQN:
             if self.dist_axis is not None:
                 key = jax.random.fold_in(
                     key, jax.lax.axis_index(self.dist_axis))
-            batch = self.replay.sample(
+            sample_fn = (self.replay.sample_columns
+                         if c.sample == "column" else self.replay.sample)
+            batch = sample_fn(
                 s.replay, key, local_batch(c.batch_size, self.num_shards))
             loss, grad = jax.value_and_grad(self._loss)(
                 s.q, s.q_target, batch)

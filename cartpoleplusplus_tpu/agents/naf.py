@@ -40,6 +40,7 @@ class NAFConfig:
     noise_sigma: float = 0.2
     warmup_env_steps: int = 16
     dtype: str = "float32"
+    sample: str = "column"           # replay sampling: column (fast) | uniform
 
 
 class NAFState(NamedTuple):
@@ -135,7 +136,9 @@ class NAF:
             if self.dist_axis is not None:
                 key = jax.random.fold_in(
                     key, jax.lax.axis_index(self.dist_axis))
-            batch = self.replay.sample(
+            sample_fn = (self.replay.sample_columns
+                         if c.sample == "column" else self.replay.sample)
+            batch = sample_fn(
                 s.replay, key, local_batch(c.batch_size, self.num_shards))
             loss, grad = jax.value_and_grad(self._loss)(
                 s.params, s.target, batch)

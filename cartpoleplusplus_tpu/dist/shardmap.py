@@ -88,9 +88,20 @@ def make_shardmap_train_step(local_agent, mesh, state_template,
         raise ValueError(f"local_agent.num_shards={local_agent.num_shards} "
                          f"!= mesh.size={mesh.size}")
     specs = state_partition_specs(state_template, mesh)
+    # Per-shard fused Pallas rollout: inside shard_map the kernel sees
+    # only this chip's envs, so fusion applies whenever the PER-SHARD
+    # batch is lane-aligned (DDPG only; other agents take the scan).
+    import inspect
+
+    fused = (jax.default_backend() == "tpu"
+             and "fused" in inspect.signature(
+                 local_agent.train_step).parameters
+             and getattr(local_agent, "fusable", lambda: False)())
+    kw = {"fused": True} if fused else {}
 
     def step(state):
-        state, metrics = local_agent.train_step(state, capture=capture)
+        state, metrics = local_agent.train_step(state, capture=capture,
+                                                **kw)
         # Split the (per-shard, batch-sharded) trajectory from the
         # (replicated) scalar metrics: they need different out_specs.
         traj = metrics.pop("traj") if capture else None
