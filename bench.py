@@ -48,6 +48,7 @@ def main():
         else CartPoleParams()
     env = CartPole3D(params, num_envs=num_envs)
     rollout, impl = best_rollout(env, num_steps)
+    parity = verify_kernel_parity(env) if impl == "pallas_fused" else "n/a"
     try:
         stats = measure_env_steps_per_sec(env, num_steps=num_steps,
                                           rollout=rollout)
@@ -61,6 +62,7 @@ def main():
         stats = measure_env_steps_per_sec(env, num_steps=num_steps,
                                           rollout=rollout)
     stats["impl"] = impl
+    stats["hw_parity"] = parity
 
     target = 10_000_000.0
     print(json.dumps({
@@ -70,6 +72,47 @@ def main():
         "vs_baseline": round(stats["env_steps_per_sec"] / target, 4),
     }))
     print(json.dumps(stats), file=sys.stderr)
+
+
+def verify_kernel_parity(env, num_steps: int = 64) -> str:
+    """On-hardware Pallas-kernel vs XLA-scan parity (round-1 VERDICT asks
+    for one per round in the driver bench; CI covers interpret mode only).
+
+    Runs both implementations for a short window from the same reset state
+    and compares final physics states (allclose, f32 fusion tolerance) and
+    the obs+reward checksum. Shapes are fixed so the two small compiles hit
+    the persistent cache after the first round. BENCH_VERIFY=0 skips."""
+    if os.environ.get("BENCH_VERIFY", "1") != "1":
+        return "skipped"
+    import jax
+    import numpy as np
+    from cartpoleplusplus_tpu.ops import pallas_rollout, reference_rollout
+
+    try:
+        state, _ = jax.jit(env.reset)(0)
+        s_k, acc_k = pallas_rollout(env, num_steps)(state)
+        acc_k = float(acc_k)  # D2H sync (tunnel: block_until_ready lies)
+        state, _ = jax.jit(env.reset)(0)
+        s_r, acc_r = reference_rollout(env, num_steps)(state)
+        acc_r = float(acc_r)
+        for name in ("pos", "vel", "s", "sd"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(s_k.phys, name)),
+                np.asarray(getattr(s_r.phys, name)),
+                rtol=1e-5, atol=1e-5, err_msg=f"phys.{name}")
+        assert np.array_equal(np.asarray(s_k.steps), np.asarray(s_r.steps))
+        assert np.array_equal(np.asarray(s_k.episode),
+                              np.asarray(s_r.episode))
+        assert abs(acc_k - acc_r) <= 1e-4 * max(1.0, abs(acc_r)), \
+            f"checksum {acc_k} vs {acc_r}"
+        return "ok"
+    except AssertionError as e:
+        print(f"HARDWARE PARITY FAILURE: {e}", file=sys.stderr)
+        return "FAIL"
+    except Exception as e:  # compile/tunnel trouble: report, don't block
+        print(f"parity check errored: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return f"error:{type(e).__name__}"
 
 
 def bench_ddpg(num_envs: int, num_steps: int):
@@ -138,9 +181,13 @@ def bench_pixels(num_envs: int, num_steps: int):
     if "BENCH_NUM_STEPS" not in os.environ:
         num_steps = 256
     dtype = os.environ.get("BENCH_PIXELS_DTYPE", "bfloat16")
+    # BENCH_PIXELS_U8=1 quantizes observations to uint8 at obs-assembly
+    # time (RenderConfig.obs_uint8): 4x less HBM traffic through the
+    # stack/auto-reset-select pipeline downstream of the raycast.
+    u8 = os.environ.get("BENCH_PIXELS_U8", "0") == "1"
     env = CartPole3D(continuous_params(), num_envs=num_envs,
                      obs_mode="pixels",
-                     render_config=RenderConfig(dtype=dtype))
+                     render_config=RenderConfig(dtype=dtype, obs_uint8=u8))
     stats = measure_env_steps_per_sec(env, num_steps=num_steps, repeats=3)
     frames = (len(env.render_config.cameras)
               * env.params.action_repeats * stats["env_steps_per_sec"])
@@ -151,8 +198,9 @@ def bench_pixels(num_envs: int, num_steps: int):
         "vs_baseline": round(stats["env_steps_per_sec"] / 1_000_000.0, 4),
     }))
     print(json.dumps({"rendered_frames_per_sec": round(frames),
-                      "dtype": dtype, **{k: stats[k] for k in
-                                         ("best_seconds", "num_steps")}}),
+                      "dtype": dtype, "obs_uint8": u8,
+                      **{k: stats[k] for k in
+                         ("best_seconds", "num_steps")}}),
           file=sys.stderr)
 
 

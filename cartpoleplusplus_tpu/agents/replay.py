@@ -70,6 +70,8 @@ class ReplayBuffer:
 
     def _encode_obs(self, obs):
         if self.quantize_obs:
+            if obs.dtype == jnp.uint8:  # env already quantized (obs_uint8)
+                return obs
             return jnp.clip(obs * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
         return obs.astype(jnp.float32)
 

@@ -43,6 +43,7 @@ class RunConfig:
     render_size: int = 48            # square frame edge (pixels)
     render_grayscale: bool = False   # 1 channel per camera instead of 3
     render_dtype: str = "float32"    # ray-cast compute dtype (bfloat16 = 2x)
+    render_obs_uint8: bool = False   # quantize pixel obs to uint8 (4x HBM)
     total_env_steps: int = 100_000   # per-env steps to train for
     seed: int = 0
     log_interval: int = 10           # train_steps between metric prints

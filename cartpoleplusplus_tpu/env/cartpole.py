@@ -215,13 +215,23 @@ class CartPole3D:
                          env_seed=env_seed, episode=episode)
         return state, self._initial_obs(phys)
 
+    def _obs_frame(self, phys: PhysState) -> jax.Array:
+        """One rendered obs frame, quantized to uint8 when configured
+        (RenderConfig.obs_uint8 — 4x less HBM traffic through the
+        stack/reset-select/replay pipeline)."""
+        frame = self.render(phys)
+        if self.render_config.obs_uint8:
+            frame = jnp.clip(frame * 255.0 + 0.5, 0.0, 255.0).astype(
+                jnp.uint8)
+        return frame
+
     def _initial_obs(self, phys: PhysState) -> jax.Array:
         if self.obs_mode == "state":
             return state_obs(self.params, phys)
         # Reference reset assembles the first obs by repeating the initial
         # pose (or frame) across the repeat window.
         if self.obs_mode == "pixels":
-            frame = self.render(phys)
+            frame = self._obs_frame(phys)
         else:
             frame = pose_frame(self.params, phys)
         return stack_obs([frame] * self.params.action_repeats)
@@ -244,7 +254,7 @@ class CartPole3D:
             if self.obs_mode == "pose_stack":
                 frames.append(pose_frame(p, phys))
             elif self.obs_mode == "pixels":
-                frames.append(self.render(phys))
+                frames.append(self._obs_frame(phys))
 
         steps = state.steps + 1
         tilted, oob, too_long = _termination(p, phys, steps)

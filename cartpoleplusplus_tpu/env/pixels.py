@@ -62,6 +62,12 @@ class RenderConfig:
     # [0, 1] either way. bf16's ~3 significant digits are ample for a
     # 48x48 conv-net observation (and the frames are replayed as uint8).
     dtype: str = "float32"
+    # uint8 observations: the env quantizes rendered frames to 0..255
+    # at obs-assembly time, cutting the (B, H, W, C)-sized stack /
+    # auto-reset-select / replay-insert HBM traffic 4x (the measured
+    # co-bottleneck of the pixel env next to the raycast itself).
+    # PixelEncoder normalizes uint8 inputs back to [0, 1] on entry.
+    obs_uint8: bool = False
 
     @property
     def channels_per_camera(self) -> int:

@@ -248,7 +248,8 @@ class EpisodeSink:
         done = np.asarray(done, bool)
         t, b = reward.shape
         if self.obs_as_frames and frames is None:
-            frames = np.clip(state * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            frames = (state if state.dtype == np.uint8 else
+                      np.clip(state * 255.0 + 0.5, 0, 255).astype(np.uint8))
             state = np.zeros((t, b, 0), np.float32)
         # One batch-major transpose up front: per-env segments then slice
         # contiguously (no per-chunk copy in the writer) — ~3x faster than

@@ -210,6 +210,8 @@ class PixelEncoder(nn.Module):
     @nn.compact
     def __call__(self, img):
         x = img.astype(self.dtype)
+        if img.dtype == jnp.uint8:  # env's quantized-obs mode
+            x = x * jnp.asarray(1.0 / 255.0, self.dtype)
         for f in self.features:
             x = nn.Conv(f, kernel_size=(3, 3), strides=(2, 2),
                         dtype=self.dtype)(x)

@@ -85,7 +85,8 @@ def build(run: RunConfig, args: argparse.Namespace, provided=None):
         render_config = RenderConfig(width=run.render_size,
                                      height=run.render_size,
                                      grayscale=run.render_grayscale,
-                                     dtype=run.render_dtype)
+                                     dtype=run.render_dtype,
+                                     obs_uint8=run.render_obs_uint8)
     env = CartPole3D(params, num_envs=run.num_envs, obs_mode=run.obs_mode,
                      render_config=render_config)
     if run.agent == "random":

@@ -85,6 +85,40 @@ def test_env_pixels_mode_end_to_end():
     assert np.any(first != last)
 
 
+def test_env_pixels_uint8_obs_mode():
+    """RenderConfig.obs_uint8: the env emits quantized uint8 frames that
+    round-trip the float render to within 1/255, and the encoder +
+    replay path accept them unchanged (no double quantization)."""
+    cfg8 = RenderConfig(width=32, height=32, obs_uint8=True)
+    env8 = CartPole3D(P, num_envs=3, obs_mode="pixels", render_config=cfg8)
+    envf = CartPole3D(P, num_envs=3, obs_mode="pixels", render_config=CFG)
+    s8, o8 = jax.jit(env8.reset)(0)
+    sf, of = jax.jit(envf.reset)(0)
+    assert o8.dtype == jnp.uint8 and of.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(o8) / 255.0, np.asarray(of),
+                               atol=1.0 / 255.0)
+    action = jnp.zeros((3,), jnp.int32)
+    s8, o8, *_ = jax.jit(env8.step)(s8, action)
+    sf, of, *_ = jax.jit(envf.step)(sf, action)
+    assert o8.dtype == jnp.uint8
+    np.testing.assert_allclose(np.asarray(o8) / 255.0, np.asarray(of),
+                               atol=1.0 / 255.0)
+    # Encoder normalizes uint8 back to [0,1] on entry: identical to
+    # feeding the dequantized float frame.
+    from cartpoleplusplus_tpu.models.nets import PixelEncoder
+    enc = PixelEncoder()
+    params = enc.init(jax.random.PRNGKey(0), of)
+    z8 = enc.apply(params, o8)
+    zq = enc.apply(params, o8.astype(jnp.float32) / 255.0)
+    np.testing.assert_allclose(np.asarray(z8), np.asarray(zq),
+                               rtol=1e-5, atol=1e-6)
+    # Replay encode is the identity on already-uint8 obs.
+    from cartpoleplusplus_tpu.agents.replay import ReplayBuffer
+    rb = ReplayBuffer(num_envs=3, capacity_per_env=8,
+                      obs_shape=env8.obs_shape, quantize_obs=True)
+    assert np.array_equal(np.asarray(rb._encode_obs(o8)), np.asarray(o8))
+
+
 def test_render_kernel_parity_interpret():
     """The Pallas raycast kernel is the same shade_components math as
     the XLA path — images must match to f32 fusion tolerance
