@@ -42,6 +42,8 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "discrete")
     if config == "ddpg":
         return bench_ddpg(num_envs, num_steps)
+    if config == "dqn":
+        return bench_dqn(num_envs, num_steps)
     if config == "pixels":
         return bench_pixels(num_envs, num_steps)
     params = continuous_params() if config == "continuous" \
@@ -162,6 +164,50 @@ def bench_ddpg(num_envs: int, num_steps: int):
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
                       "batch_size": batch, "dtype": dtype,
                       "n_calls": n_calls, "best_s": round(best, 3),
+                      "fused": agent.fusable()}), file=sys.stderr)
+
+
+def bench_dqn(num_envs: int, num_steps: int):
+    """End-to-end DQN train env-steps/s: fused Pallas epsilon-greedy
+    Q rollout + device replay insert + TD updates (the discrete config-2
+    twin of bench_ddpg; same D2H-sync timing methodology)."""
+    import time
+
+    import jax  # noqa: F401 — backend init before agent build
+
+    from cartpoleplusplus_tpu import CartPole3D, CartPoleParams
+    from cartpoleplusplus_tpu.agents import DQN, DQNConfig
+
+    rollout = int(os.environ.get("BENCH_DQN_ROLLOUT", "64"))
+    updates = int(os.environ.get("BENCH_DQN_UPDATES", "8"))
+    batch = int(os.environ.get("BENCH_DQN_BATCH", "8192"))
+    env = CartPole3D(CartPoleParams(), num_envs=num_envs)
+    agent = DQN(env, DQNConfig(rollout_steps=rollout,
+                               updates_per_step=updates,
+                               batch_size=batch, warmup_env_steps=0))
+    st = agent.init(0)
+    step = agent.make_train_step()  # auto-selects the fused kernel on TPU
+    st, m = step(st)
+    _ = float(m["reward_mean"])  # D2H sync after compile
+    n_calls = max(num_steps // rollout, 1)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            st, m = step(st)
+        _ = float(m["reward_mean"])
+        best = min(best, time.perf_counter() - t0)
+    rate = n_calls * rollout * num_envs / best
+    target = 10_000_000.0
+    print(json.dumps({
+        "metric": f"dqn_train_env_steps_per_sec_{num_envs}envs",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / target, 4),
+    }))
+    print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
+                      "batch_size": batch, "n_calls": n_calls,
+                      "best_s": round(best, 3),
                       "fused": agent.fusable()}), file=sys.stderr)
 
 

@@ -139,16 +139,28 @@ class DQN:
         q_sa = jnp.take_along_axis(qv, action[:, None], 1)[:, 0]
         return jnp.mean(optax.huber_loss(q_sa, jax.lax.stop_gradient(y)))
 
-    def train_step(self, st: DQNState, capture: bool = False) -> tuple[DQNState, dict]:
+    def train_step(self, st: DQNState, capture: bool = False,
+                   fused: bool = False) -> tuple[DQNState, dict]:
+        """fused=True runs the rollout through the Pallas Q-in-the-loop
+        kernel (ops/policy_rollout.py::q_policy_rollout) instead of the
+        XLA env scan — numerically twinned (tests/test_policy_rollout.py),
+        same speedup family as the DDPG fused path (BASELINE.md)."""
         c = self.cfg
         rng = st.rng
         eps = self.epsilon(st.env_steps)
         env_seed = st.env_state.env_seed
 
-        env_state, obs, traj = run_rollout(
-            self.env, lambda o, t: self.act(st.q, o, env_seed, t, eps),
-            st.env_state, st.obs,
-            st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
+        if fused:
+            from ..ops.policy_rollout import q_policy_rollout
+            run = q_policy_rollout(self.env, tuple(c.hidden),
+                                   c.rollout_steps)
+            env_state, obs, traj = run(st.env_state, st.obs, st.q,
+                                       st.env_steps, eps)
+        else:
+            env_state, obs, traj = run_rollout(
+                self.env, lambda o, t: self.act(st.q, o, env_seed, t, eps),
+                st.env_state, st.obs,
+                st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
@@ -191,9 +203,25 @@ class DQN:
             "env_steps": env_steps,
         }
 
-    def make_train_step(self, capture: bool = False):
+    def fusable(self) -> bool:
+        """Whether the Pallas Q-in-the-loop rollout covers this
+        env/config shape (ops/policy_rollout.py::q_fusable)."""
+        from ..ops.policy_rollout import q_fusable
+        return (self.env.obs_mode != "pixels"
+                and q_fusable(self.env, tuple(self.cfg.hidden)))
+
+    def make_train_step(self, capture: bool = False, fused=None):
         """Jitted train_step with donated state. capture=True additionally
         returns the rollout chunk in metrics["traj"] (time-major
-        (obs, action, reward, done)) for the event-log sink."""
-        return jax.jit(functools.partial(self.train_step, capture=capture),
+        (obs, action, reward, done)) for the event-log sink. fused=None
+        auto-selects the Pallas Q-rollout kernel on TPU when the shape is
+        coverable (single-device or per-shard batches only — under the
+        SPMD partitioner a pallas_call cannot be re-sharded)."""
+        if fused is None:
+            fused = (self.fusable()
+                     and jax.default_backend() == "tpu"
+                     and (self.dist_axis is not None
+                          or len(jax.devices()) == 1))
+        return jax.jit(functools.partial(self.train_step, capture=capture,
+                                         fused=fused),
                        donate_argnums=(0,))

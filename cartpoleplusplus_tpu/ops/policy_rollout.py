@@ -58,11 +58,13 @@ from ..env.compute import (
 )
 from ..physics import CartPoleParams
 from ..physics.dynamics import substep_components
-from ..utils.prng import normal
+from ..utils.prng import hash_words, normal, uniform
 
-# OU-noise stream tags — MUST match agents/common.py (the unfused path).
+# Exploration stream tags — MUST match agents/common.py (unfused paths).
 _TAG_OU_X = 0x41
 _TAG_OU_Y = 0x42
+_TAG_EPS_GATE = 0x43
+_TAG_EPS_ACT = 0x44
 
 _LN_EPS = 1e-6  # flax.linen.LayerNorm default epsilon
 _FRAME_COMPS = 14
@@ -81,13 +83,14 @@ def _row_to_tile(v, rows: int):
     return v.reshape(rows, 128)
 
 
-def actor_forward_fm(obs_fm, layers, w_out, b_out):
-    """Feature-major actor torso + tanh head.
+def mlp_forward_fm(obs_fm, layers, w_out, b_out):
+    """Feature-major MLP: Dense+LayerNorm+relu torso, linear head.
 
     obs_fm: (F, B). layers: [(Wt (H, F_in), b (H, 1), ln_scale (H, 1),
-    ln_bias (H, 1)), ...]. w_out: (8, H) zero-padded tanh head (rows 0, 1
-    are the action). Matches models.ActorMLP (Dense -> LayerNorm -> relu
-    torso, uniform-init tanh head) in f32, feature-major orientation.
+    ln_bias (H, 1)), ...]. w_out: (8, H) zero-row-padded head. Matches
+    models._Torso + Dense head in f32, feature-major orientation (the
+    batch stays on the lane axis, so h' = W^T h needs no transposes).
+    Returns the (8, B) head pre-activation.
     """
     h = obs_fm
     for wt, b, lns, lnb in layers:
@@ -96,8 +99,13 @@ def actor_forward_fm(obs_fm, layers, w_out, b_out):
         var = jnp.mean(h * h, axis=0, keepdims=True) - mu * mu
         h = (h - mu) * jax.lax.rsqrt(var + _LN_EPS) * lns + lnb
         h = jnp.maximum(h, 0.0)
-    a = jnp.dot(w_out, h, preferred_element_type=jnp.float32) + b_out
-    return jnp.tanh(a[0:1, :]), jnp.tanh(a[1:2, :])  # (1, B) each
+    return jnp.dot(w_out, h, preferred_element_type=jnp.float32) + b_out
+
+
+def actor_forward_fm(obs_fm, layers, w_out, b_out):
+    """DDPG actor head: tanh of rows 0, 1 -> ((1, B), (1, B))."""
+    a = mlp_forward_fm(obs_fm, layers, w_out, b_out)
+    return jnp.tanh(a[0:1, :]), jnp.tanh(a[1:2, :])
 
 
 def _policy_rollout_kernel(p: CartPoleParams, num_layers: int,
@@ -386,6 +394,284 @@ def _layer_shapes(hidden, obs_dim):
         f_in = h
     shapes += [(8, f_in), (8, 1)]
     return shapes
+
+
+# --- DQN: epsilon-greedy Q-policy in the loop -------------------------------
+
+def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
+                      *refs):
+    """Grid=(T,) kernel: one epsilon-greedy env.step per grid step with
+    the Q-network forward (models.QNetMLP) in the loop. Same layout
+    strategy as `_policy_rollout_kernel`; no OU state (exploration is the
+    memoryless counter-PRNG epsilon gate of agents/dqn.py::act)."""
+    n_in = 17 + 4 * num_layers + 2
+    ins, rest = refs[:n_in], refs[n_in:]
+    outs, scratch = rest[:17], rest[17:]
+
+    (x_in, y_in, z_in, vx_in, vy_in, vz_in, sx_in, sy_in, sdx_in, sdy_in,
+     steps_in, ep_in, seed_in, seed_row_in, obs0_in, t0_ref,
+     eps_ref) = ins[:17]
+    layer_refs = ins[17:17 + 4 * num_layers]
+    w_out_ref, b_out_ref = ins[17 + 4 * num_layers:]
+    (obs_o, act_o, rew_o, done_o,
+     xf, yf, zf, vxf, vyf, vzf, sxf, syf, sdxf, sdyf,
+     stepsf, epf, obsf) = outs
+    (xs, ys, zs, vxs, vys, vzs, sxs, sys_, sdxs, sdys,
+     steps_s, ep_s, obs_s) = scratch
+
+    t = pl.program_id(0)
+    rows = x_in.shape[0]
+
+    @pl.when(t == 0)
+    def _init():
+        for dst, src in ((xs, x_in), (ys, y_in), (zs, z_in), (vxs, vx_in),
+                         (vys, vy_in), (vzs, vz_in), (sxs, sx_in),
+                         (sys_, sy_in), (sdxs, sdx_in), (sdys, sdy_in),
+                         (steps_s, steps_in), (ep_s, ep_in),
+                         (obs_s, obs0_in)):
+            dst[:] = src[:]
+
+    seed = seed_in[:].astype(jnp.uint32)
+    seed_row = seed_row_in[:].astype(jnp.uint32)
+    tg = (t0_ref[0, 0] + t).astype(jnp.uint32)
+    eps = eps_ref[0, 0]
+
+    obs_fm = obs_s[:]
+    obs_o[0] = obs_fm  # traj obs = PRE-step observation
+
+    # --- Q forward + epsilon-greedy (row layout) -------------------------
+    layers = [(layer_refs[4 * i][:], layer_refs[4 * i + 1][:],
+               layer_refs[4 * i + 2][:], layer_refs[4 * i + 3][:])
+              for i in range(num_layers)]
+    q = mlp_forward_fm(obs_fm, layers, w_out_ref[:], b_out_ref[:])
+    # First-max argmax over the 5 action rows (jnp.argmax tie-break).
+    best = q[0:1, :]
+    idx = jnp.zeros_like(best)
+    for i in range(1, 5):
+        qi = q[i:i + 1, :]
+        better = qi > best
+        idx = jnp.where(better, np.float32(i), idx)
+        best = jnp.maximum(best, qi)
+    rand = (hash_words(seed_row, tg, np.uint32(_TAG_EPS_ACT))
+            % np.uint32(5)).astype(jnp.float32)
+    explore = uniform(0.0, 1.0, seed_row, tg, np.uint32(_TAG_EPS_GATE)) < eps
+    a_row = jnp.where(explore, rand, idx)  # action index as f32 (exact)
+    act_o[0] = a_row
+
+    # --- physics on tiles (action table: noop/+x/-x/+y/-y) ---------------
+    a_tile = _row_to_tile(a_row, rows)
+    force = np.float32(p.action_force)
+    fx = ((a_tile == np.float32(1.0)).astype(jnp.float32)
+          - (a_tile == np.float32(2.0)).astype(jnp.float32)) * force
+    fy = ((a_tile == np.float32(3.0)).astype(jnp.float32)
+          - (a_tile == np.float32(4.0)).astype(jnp.float32)) * force
+    st10 = (xs[:], ys[:], zs[:], vxs[:], vys[:], vzs[:], sxs[:], sys_[:],
+            sdxs[:], sdys[:])
+    steps = steps_s[:]
+    episode = ep_s[:]
+    frames = []
+    for r_i in range(p.action_repeats):
+        if p.push_prob_per_repeat > 0.0:
+            px, py = push_xy(p, seed, episode, steps, r_i)
+        else:
+            px = py = jnp.zeros_like(st10[0])
+        for _ in range(p.steps_per_repeat):
+            st10 = substep_components(p, *st10, fx, fy, px, py)
+        frames.append(frame_components(p, st10[0], st10[1], st10[2],
+                                       st10[6], st10[7]))
+
+    steps = steps + 1
+    done_phys, too_long = termination_components(
+        p, st10[0], st10[1], st10[6], st10[7], steps)
+    done = done_phys | too_long
+    done_f = done.astype(jnp.float32)
+    reward = reward_components(p, st10[0], st10[1], st10[6], st10[7],
+                               done_phys)
+    rew_o[0] = _tile_to_row(reward)
+    done_o[0] = _tile_to_row(done_f)
+
+    # --- masked auto-reset (env.step semantics) --------------------------
+    episode = episode + done.astype(jnp.int32)
+    fresh = reset_components(p, seed, episode)
+    st10 = tuple(jnp.where(done, f, c) for f, c in zip(fresh, st10))
+    steps = jnp.where(done, 0, steps)
+    fresh_frame = frame_components(p, fresh[0], fresh[1], fresh[2],
+                                   fresh[6], fresh[7])
+    for k in range(p.action_repeats):
+        for c in range(_FRAME_COMPS):
+            row = jnp.where(done, fresh_frame[c], frames[k][c])
+            obs_s[k * _FRAME_COMPS + c:k * _FRAME_COMPS + c + 1, :] = (
+                _tile_to_row(row))
+
+    for dst, val in ((xs, st10[0]), (ys, st10[1]), (zs, st10[2]),
+                     (vxs, st10[3]), (vys, st10[4]), (vzs, st10[5]),
+                     (sxs, st10[6]), (sys_, st10[7]), (sdxs, st10[8]),
+                     (sdys, st10[9]), (steps_s, steps), (ep_s, episode)):
+        dst[:] = val
+
+    @pl.when(t == num_steps - 1)
+    def _finalize():
+        for dst, src in ((xf, xs), (yf, ys), (zf, zs), (vxf, vxs),
+                         (vyf, vys), (vzf, vzs), (sxf, sxs), (syf, sys_),
+                         (sdxf, sdxs), (sdyf, sdys), (stepsf, steps_s),
+                         (epf, ep_s), (obsf, obs_s)):
+            dst[:] = src[:]
+
+
+def _flatten_q_params(params, hidden):
+    """Flax QNetMLP param tree -> feature-major kernel operands (head
+    zero-padded from 5 action rows to the 8-row f32 sublane tile)."""
+    torso = params["params"]["_Torso_0"]
+    flat = []
+    for i, _ in enumerate(hidden):
+        d, ln = torso[f"Dense_{i}"], torso[f"LayerNorm_{i}"]
+        flat += [jnp.transpose(d["kernel"]), d["bias"][:, None],
+                 ln["scale"][:, None], ln["bias"][:, None]]
+    head = params["params"]["Dense_0"]
+    w = jnp.transpose(head["kernel"])          # (5, H)
+    b = head["bias"][:, None]                  # (5, 1)
+    w_out = jnp.zeros((8, w.shape[1]), jnp.float32).at[:5].set(w)
+    b_out = jnp.zeros((8, 1), jnp.float32).at[:5].set(b)
+    return flat, w_out, b_out
+
+
+def q_fusable(env, hidden) -> bool:
+    """DQN kernel coverage: discrete 5-way actions, pose_stack obs,
+    auto-reset, lane-aligned batch (the config-2 training shape)."""
+    p = env.params
+    return (p.discrete_actions and env.num_actions == 5
+            and env.obs_mode == "pose_stack" and env.auto_reset
+            and env.num_envs % 1024 == 0 and len(hidden) >= 1)
+
+
+def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
+    """Builder: jitted fused epsilon-greedy Q-rollout.
+
+    Returned fn(env_state, obs (B, F), q_params, env_steps (i32 scalar),
+    eps (f32 scalar)) -> (env_state', obs' (B, F), traj = (obs (T, B, F),
+    action (T, B) i32, reward (T, B), done (T, B) bool)) — the exact
+    rollout contract of agents/dqn.py::train_step.
+    """
+    p = env.params
+    b = env.num_envs
+    if not q_fusable(env, hidden):
+        raise ValueError("env/config shape not coverable by the fused "
+                         "Q rollout (see ops.policy_rollout.q_fusable)")
+    rows = b // 128
+    obs_dim = _FRAME_COMPS * p.action_repeats
+    num_layers = len(hidden)
+
+    kernel = functools.partial(_q_rollout_kernel, p, num_layers, num_steps)
+    tile_f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    tile_i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+    obs_fm = jax.ShapeDtypeStruct((obs_dim, b), jnp.float32)
+
+    grid_in = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM)
+    step_out = lambda *shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda t: (t,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    smem_scalar = pl.BlockSpec((1, 1), lambda t: (0, 0),
+                               memory_space=pltpu.SMEM)
+    in_specs = (
+        [grid_in(rows, 128)] * 13                 # state + seed tiles
+        + [grid_in(1, b)]                         # seed row twin
+        + [grid_in(obs_dim, b)]                   # obs0
+        + [smem_scalar, smem_scalar]              # env_steps, epsilon
+        + [grid_in(*s) for s in _layer_shapes(hidden, obs_dim)]
+    )
+    assert len(in_specs) == 17 + 4 * num_layers + 2
+
+    out_shape = (
+        jax.ShapeDtypeStruct((num_steps, obs_dim, b), jnp.float32),  # obs
+        jax.ShapeDtypeStruct((num_steps, 1, b), jnp.float32),        # act
+        jax.ShapeDtypeStruct((num_steps, 1, b), jnp.float32),        # rew
+        jax.ShapeDtypeStruct((num_steps, 1, b), jnp.float32),        # done
+        *(tile_f32,) * 10, tile_i32, tile_i32,                       # state
+        obs_fm,                                                      # obs'
+    )
+    out_specs = (
+        step_out(obs_dim, b), step_out(1, b), step_out(1, b),
+        step_out(1, b),
+        *(grid_in(rows, 128),) * 12,
+        grid_in(obs_dim, b),
+    )
+    scratch_shapes = (
+        [pltpu.VMEM((rows, 128), jnp.float32)] * 10
+        + [pltpu.VMEM((rows, 128), jnp.int32)] * 2
+        + [pltpu.VMEM((obs_dim, b), jnp.float32)]
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(num_steps,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )
+
+    def tiles(a):
+        return a.reshape(rows, 128)
+
+    def run(state: EnvState, obs, q_params, env_steps, eps):
+        ph = state.phys
+        flat, w_out, b_out = _flatten_q_params(q_params, hidden)
+        t0 = jnp.asarray(env_steps, jnp.int32).reshape(1, 1)
+        ep = jnp.asarray(eps, jnp.float32).reshape(1, 1)
+        args = [
+            tiles(ph.pos[:, 0]), tiles(ph.pos[:, 1]), tiles(ph.pos[:, 2]),
+            tiles(ph.vel[:, 0]), tiles(ph.vel[:, 1]), tiles(ph.vel[:, 2]),
+            tiles(ph.s[:, 0]), tiles(ph.s[:, 1]),
+            tiles(ph.sd[:, 0]), tiles(ph.sd[:, 1]),
+            tiles(state.steps), tiles(state.episode),
+            tiles(state.env_seed.astype(jnp.int32)),
+            state.env_seed.astype(jnp.int32).reshape(1, b),
+            jnp.transpose(obs),             # (F, B) feature-major
+            t0, ep,
+            *flat, w_out, b_out,
+        ]
+        out = call(*args)
+        obs_t, act_t, rew_t, done_t = out[:4]
+        flat_st = [o.reshape(b) for o in out[4:16]]
+        phys = type(ph)(
+            pos=jnp.stack(flat_st[0:3], axis=-1),
+            vel=jnp.stack(flat_st[3:6], axis=-1),
+            s=jnp.stack(flat_st[6:8], axis=-1),
+            sd=jnp.stack(flat_st[8:10], axis=-1),
+        )
+        new_state = EnvState(phys=phys, steps=flat_st[10],
+                             episode=flat_st[11],
+                             env_seed=state.env_seed)
+        new_obs = jnp.transpose(out[16])
+        traj = (jnp.transpose(obs_t, (0, 2, 1)),
+                act_t[:, 0, :].astype(jnp.int32),
+                rew_t[:, 0, :],
+                done_t[:, 0, :].astype(bool))
+        return new_state, new_obs, traj
+
+    return run
+
+
+def reference_q_rollout(agent, num_steps: int):
+    """XLA twin of the fused Q rollout — the rollout body of
+    agents/dqn.py::train_step, extracted for kernel parity tests."""
+    env = agent.env
+
+    def run(state, obs, q_params, env_steps, eps):
+        def body(carry, t):
+            st, o = carry
+            a = agent.act(q_params, o, st.env_seed, t, eps)
+            st, o_next, reward, done, _ = env.step(st, a)
+            return (st, o_next), (o, a, reward, done)
+
+        (state, obs), traj = jax.lax.scan(
+            body, (state, obs),
+            env_steps + jnp.arange(num_steps, dtype=jnp.int32))
+        return state, obs, traj
+
+    return run
 
 
 # --- numerical twin (XLA path) ----------------------------------------------
