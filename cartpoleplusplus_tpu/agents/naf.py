@@ -118,15 +118,27 @@ class NAF:
         q, _, _ = self.net.apply(params, obs, action)
         return jnp.mean(jnp.square(q - jax.lax.stop_gradient(y)))
 
-    def train_step(self, st: NAFState, capture: bool = False) -> tuple[NAFState, dict]:
+    def train_step(self, st: NAFState, capture: bool = False,
+                   fused: bool = False) -> tuple[NAFState, dict]:
+        """fused=True runs the rollout through the Pallas mu-in-the-loop
+        kernel (ops/policy_rollout.py::naf_policy_rollout) instead of the
+        XLA env scan — numerically twinned (tests/test_policy_rollout.py)."""
         c = self.cfg
         rng = st.rng
         env_seed = st.env_state.env_seed
 
-        env_state, obs, traj = run_rollout(
-            self.env, lambda o, t: self.act(st.params, o, env_seed, t),
-            st.env_state, st.obs,
-            st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
+        if fused:
+            from ..ops.policy_rollout import naf_policy_rollout
+            run = naf_policy_rollout(self.env, tuple(c.hidden),
+                                     c.rollout_steps)
+            env_state, obs, traj = run(st.env_state, st.obs, st.params,
+                                       st.env_steps,
+                                       jnp.float32(c.noise_sigma))
+        else:
+            env_state, obs, traj = run_rollout(
+                self.env, lambda o, t: self.act(st.params, o, env_seed, t),
+                st.env_state, st.obs,
+                st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
@@ -168,9 +180,23 @@ class NAF:
             "env_steps": env_steps,
         }
 
-    def make_train_step(self, capture: bool = False):
+    def fusable(self) -> bool:
+        """Whether the Pallas mu-in-the-loop rollout covers this
+        env/config shape (ops/policy_rollout.py::naf_fusable)."""
+        from ..ops.policy_rollout import naf_fusable
+        return naf_fusable(self.env, tuple(self.cfg.hidden))
+
+    def make_train_step(self, capture: bool = False, fused=None):
         """Jitted train_step with donated state. capture=True additionally
         returns the rollout chunk in metrics["traj"] (time-major
-        (obs, action, reward, done)) for the event-log sink."""
-        return jax.jit(functools.partial(self.train_step, capture=capture),
+        (obs, action, reward, done)) for the event-log sink. fused=None
+        auto-selects the Pallas rollout kernel on TPU when the shape is
+        coverable (single-device or per-shard batches only)."""
+        if fused is None:
+            fused = (self.fusable()
+                     and jax.default_backend() == "tpu"
+                     and (self.dist_axis is not None
+                          or len(jax.devices()) == 1))
+        return jax.jit(functools.partial(self.train_step, capture=capture,
+                                         fused=fused),
                        donate_argnums=(0,))

@@ -65,6 +65,8 @@ _TAG_OU_X = 0x41
 _TAG_OU_Y = 0x42
 _TAG_EPS_GATE = 0x43
 _TAG_EPS_ACT = 0x44
+_TAG_NAF_X = 0x45
+_TAG_NAF_Y = 0x46
 
 _LN_EPS = 1e-6  # flax.linen.LayerNorm default epsilon
 _FRAME_COMPS = 14
@@ -396,14 +398,21 @@ def _layer_shapes(hidden, obs_dim):
     return shapes
 
 
-# --- DQN: epsilon-greedy Q-policy in the loop -------------------------------
+# --- stateless-exploration policies in the loop (DQN + NAF) -----------------
+#
+# DQN (epsilon-greedy over QNetMLP) and NAF (mu head + iid Gaussian) share
+# one kernel skeleton: unlike DDPG's OU process, their exploration carries
+# no state between steps, so the kernel needs no noise scratch — only the
+# per-step policy math differs (selected by `mode`).
 
 def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
-                      *refs):
-    """Grid=(T,) kernel: one epsilon-greedy env.step per grid step with
-    the Q-network forward (models.QNetMLP) in the loop. Same layout
-    strategy as `_policy_rollout_kernel`; no OU state (exploration is the
-    memoryless counter-PRNG epsilon gate of agents/dqn.py::act)."""
+                      mode: str, *refs):
+    """Grid=(T,) kernel: one env.step per grid step with the policy
+    network forward in the loop. mode='dqn': epsilon-greedy argmax over
+    the 5 Q rows (agents/dqn.py::act; scalar operand = epsilon).
+    mode='naf': tanh mu rows + sigma * counter-normal, clipped
+    (agents/naf.py::act; scalar operand = noise_sigma). Same layout
+    strategy as `_policy_rollout_kernel`."""
     n_in = 17 + 4 * num_layers + 2
     ins, rest = refs[:n_in], refs[n_in:]
     outs, scratch = rest[:17], rest[17:]
@@ -439,32 +448,46 @@ def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
     obs_fm = obs_s[:]
     obs_o[0] = obs_fm  # traj obs = PRE-step observation
 
-    # --- Q forward + epsilon-greedy (row layout) -------------------------
+    # --- policy forward + stateless exploration (row layout) -------------
     layers = [(layer_refs[4 * i][:], layer_refs[4 * i + 1][:],
                layer_refs[4 * i + 2][:], layer_refs[4 * i + 3][:])
               for i in range(num_layers)]
-    q = mlp_forward_fm(obs_fm, layers, w_out_ref[:], b_out_ref[:])
-    # First-max argmax over the 5 action rows (jnp.argmax tie-break).
-    best = q[0:1, :]
-    idx = jnp.zeros_like(best)
-    for i in range(1, 5):
-        qi = q[i:i + 1, :]
-        better = qi > best
-        idx = jnp.where(better, np.float32(i), idx)
-        best = jnp.maximum(best, qi)
-    rand = (hash_words(seed_row, tg, np.uint32(_TAG_EPS_ACT))
-            % np.uint32(5)).astype(jnp.float32)
-    explore = uniform(0.0, 1.0, seed_row, tg, np.uint32(_TAG_EPS_GATE)) < eps
-    a_row = jnp.where(explore, rand, idx)  # action index as f32 (exact)
-    act_o[0] = a_row
-
-    # --- physics on tiles (action table: noop/+x/-x/+y/-y) ---------------
-    a_tile = _row_to_tile(a_row, rows)
+    head = mlp_forward_fm(obs_fm, layers, w_out_ref[:], b_out_ref[:])
     force = np.float32(p.action_force)
-    fx = ((a_tile == np.float32(1.0)).astype(jnp.float32)
-          - (a_tile == np.float32(2.0)).astype(jnp.float32)) * force
-    fy = ((a_tile == np.float32(3.0)).astype(jnp.float32)
-          - (a_tile == np.float32(4.0)).astype(jnp.float32)) * force
+    if mode == "dqn":
+        # First-max argmax over the 5 Q rows (jnp.argmax tie-break).
+        best = head[0:1, :]
+        idx = jnp.zeros_like(best)
+        for i in range(1, 5):
+            qi = head[i:i + 1, :]
+            better = qi > best
+            idx = jnp.where(better, np.float32(i), idx)
+            best = jnp.maximum(best, qi)
+        rand = (hash_words(seed_row, tg, np.uint32(_TAG_EPS_ACT))
+                % np.uint32(5)).astype(jnp.float32)
+        explore = uniform(0.0, 1.0, seed_row, tg,
+                          np.uint32(_TAG_EPS_GATE)) < eps
+        a_row = jnp.where(explore, rand, idx)  # index as f32 (exact)
+        act_o[0] = a_row
+
+        # action table: noop/+x/-x/+y/-y
+        a_tile = _row_to_tile(a_row, rows)
+        fx = ((a_tile == np.float32(1.0)).astype(jnp.float32)
+              - (a_tile == np.float32(2.0)).astype(jnp.float32)) * force
+        fy = ((a_tile == np.float32(3.0)).astype(jnp.float32)
+              - (a_tile == np.float32(4.0)).astype(jnp.float32)) * force
+    else:  # naf: clip(tanh(mu) + sigma * N(0,1), -1, 1); eps is sigma
+        ax_row = jnp.clip(
+            jnp.tanh(head[0:1, :])
+            + eps * normal(seed_row, tg, np.uint32(_TAG_NAF_X)),
+            -1.0, 1.0)
+        ay_row = jnp.clip(
+            jnp.tanh(head[1:2, :])
+            + eps * normal(seed_row, tg, np.uint32(_TAG_NAF_Y)),
+            -1.0, 1.0)
+        act_o[0] = jnp.concatenate([ax_row, ay_row], axis=0)
+        fx = _row_to_tile(ax_row, rows) * force
+        fy = _row_to_tile(ay_row, rows) * force
     st10 = (xs[:], ys[:], zs[:], vxs[:], vys[:], vzs[:], sxs[:], sys_[:],
             sdxs[:], sdys[:])
     steps = steps_s[:]
@@ -535,6 +558,24 @@ def _flatten_q_params(params, hidden):
     return flat, w_out, b_out
 
 
+def _flatten_naf_params(params, hidden):
+    """Flax NafNet param tree -> feature-major kernel operands. Only the
+    torso + mu head (Dense_1) enter the rollout; the V head (Dense_0)
+    and L-matrix head (Dense_2) are learner-only."""
+    torso = params["params"]["_Torso_0"]
+    flat = []
+    for i, _ in enumerate(hidden):
+        d, ln = torso[f"Dense_{i}"], torso[f"LayerNorm_{i}"]
+        flat += [jnp.transpose(d["kernel"]), d["bias"][:, None],
+                 ln["scale"][:, None], ln["bias"][:, None]]
+    head = params["params"]["Dense_1"]
+    w = jnp.transpose(head["kernel"])          # (2, H)
+    b = head["bias"][:, None]
+    w_out = jnp.zeros((8, w.shape[1]), jnp.float32).at[:2].set(w)
+    b_out = jnp.zeros((8, 1), jnp.float32).at[:2].set(b)
+    return flat, w_out, b_out
+
+
 def q_fusable(env, hidden) -> bool:
     """DQN kernel coverage: discrete 5-way actions, pose_stack obs,
     auto-reset, lane-aligned batch (the config-2 training shape)."""
@@ -544,24 +585,53 @@ def q_fusable(env, hidden) -> bool:
             and env.num_envs % 1024 == 0 and len(hidden) >= 1)
 
 
+def naf_fusable(env, hidden) -> bool:
+    """NAF kernel coverage: same shape window as the DDPG kernel."""
+    return fusable(env, hidden)
+
+
 def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
-    """Builder: jitted fused epsilon-greedy Q-rollout.
+    """Builder: jitted fused epsilon-greedy Q-rollout (mode='dqn').
 
     Returned fn(env_state, obs (B, F), q_params, env_steps (i32 scalar),
     eps (f32 scalar)) -> (env_state', obs' (B, F), traj = (obs (T, B, F),
     action (T, B) i32, reward (T, B), done (T, B) bool)) — the exact
     rollout contract of agents/dqn.py::train_step.
     """
+    return _stateless_policy_rollout(env, hidden, num_steps, "dqn",
+                                     interpret)
+
+
+def naf_policy_rollout(env, hidden, num_steps: int,
+                       interpret: bool = False):
+    """Builder: jitted fused NAF mu+Gaussian rollout (mode='naf').
+
+    Returned fn(env_state, obs (B, F), naf_params, env_steps (i32
+    scalar), sigma (f32 scalar)) -> (env_state', obs' (B, F), traj =
+    (obs (T, B, F), action (T, B, 2), reward (T, B), done (T, B) bool))
+    — the exact rollout contract of agents/naf.py::train_step.
+    """
+    return _stateless_policy_rollout(env, hidden, num_steps, "naf",
+                                     interpret)
+
+
+def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
+                              interpret: bool = False):
     p = env.params
     b = env.num_envs
-    if not q_fusable(env, hidden):
+    ok = q_fusable(env, hidden) if mode == "dqn" \
+        else naf_fusable(env, hidden)
+    if not ok:
         raise ValueError("env/config shape not coverable by the fused "
-                         "Q rollout (see ops.policy_rollout.q_fusable)")
+                         f"{mode} rollout (see ops.policy_rollout)")
     rows = b // 128
     obs_dim = _FRAME_COMPS * p.action_repeats
     num_layers = len(hidden)
+    act_rows = 1 if mode == "dqn" else 2
+    flatten = _flatten_q_params if mode == "dqn" else _flatten_naf_params
 
-    kernel = functools.partial(_q_rollout_kernel, p, num_layers, num_steps)
+    kernel = functools.partial(_q_rollout_kernel, p, num_layers, num_steps,
+                               mode)
     tile_f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
     tile_i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
     obs_fm = jax.ShapeDtypeStruct((obs_dim, b), jnp.float32)
@@ -584,14 +654,14 @@ def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
 
     out_shape = (
         jax.ShapeDtypeStruct((num_steps, obs_dim, b), jnp.float32),  # obs
-        jax.ShapeDtypeStruct((num_steps, 1, b), jnp.float32),        # act
+        jax.ShapeDtypeStruct((num_steps, act_rows, b), jnp.float32),
         jax.ShapeDtypeStruct((num_steps, 1, b), jnp.float32),        # rew
         jax.ShapeDtypeStruct((num_steps, 1, b), jnp.float32),        # done
         *(tile_f32,) * 10, tile_i32, tile_i32,                       # state
         obs_fm,                                                      # obs'
     )
     out_specs = (
-        step_out(obs_dim, b), step_out(1, b), step_out(1, b),
+        step_out(obs_dim, b), step_out(act_rows, b), step_out(1, b),
         step_out(1, b),
         *(grid_in(rows, 128),) * 12,
         grid_in(obs_dim, b),
@@ -615,9 +685,9 @@ def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
     def tiles(a):
         return a.reshape(rows, 128)
 
-    def run(state: EnvState, obs, q_params, env_steps, eps):
+    def run(state: EnvState, obs, net_params, env_steps, eps):
         ph = state.phys
-        flat, w_out, b_out = _flatten_q_params(q_params, hidden)
+        flat, w_out, b_out = flatten(net_params, hidden)
         t0 = jnp.asarray(env_steps, jnp.int32).reshape(1, 1)
         ep = jnp.asarray(eps, jnp.float32).reshape(1, 1)
         args = [
@@ -645,8 +715,10 @@ def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
                              episode=flat_st[11],
                              env_seed=state.env_seed)
         new_obs = jnp.transpose(out[16])
+        action = (act_t[:, 0, :].astype(jnp.int32) if mode == "dqn"
+                  else jnp.transpose(act_t, (0, 2, 1)))
         traj = (jnp.transpose(obs_t, (0, 2, 1)),
-                act_t[:, 0, :].astype(jnp.int32),
+                action,
                 rew_t[:, 0, :],
                 done_t[:, 0, :].astype(bool))
         return new_state, new_obs, traj
@@ -663,6 +735,31 @@ def reference_q_rollout(agent, num_steps: int):
         def body(carry, t):
             st, o = carry
             a = agent.act(q_params, o, st.env_seed, t, eps)
+            st, o_next, reward, done, _ = env.step(st, a)
+            return (st, o_next), (o, a, reward, done)
+
+        (state, obs), traj = jax.lax.scan(
+            body, (state, obs),
+            env_steps + jnp.arange(num_steps, dtype=jnp.int32))
+        return state, obs, traj
+
+    return run
+
+
+def reference_naf_rollout(agent, num_steps: int):
+    """XLA twin of the fused NAF rollout — the rollout body of
+    agents/naf.py::train_step (sigma fixed by config there; a runtime
+    scalar here so the kernel signature stays uniform)."""
+    env = agent.env
+
+    def run(state, obs, naf_params, env_steps, sigma):
+        def body(carry, t):
+            st, o = carry
+            _, mu = agent.net.apply(naf_params, o)
+            eps2 = jnp.stack([normal(st.env_seed, t, _TAG_NAF_X),
+                              normal(st.env_seed, t, _TAG_NAF_Y)],
+                             axis=-1) * sigma
+            a = jnp.clip(mu + eps2, -1.0, 1.0)
             st, o_next, reward, done, _ = env.step(st, a)
             return (st, o_next), (o, a, reward, done)
 

@@ -160,6 +160,41 @@ def test_fused_q_train_step_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_fused_naf_rollout_matches_env_scan():
+    """The fused NAF rollout (tanh mu head + sigma * counter-normal,
+    clipped) twins agents/naf.py's rollout scan."""
+    from cartpoleplusplus_tpu.agents import NAF, NAFConfig
+    from cartpoleplusplus_tpu.ops.policy_rollout import (
+        naf_fusable, naf_policy_rollout, reference_naf_rollout)
+
+    env = CartPole3D(continuous_params(), num_envs=1024)
+    agent = NAF(env, NAFConfig(hidden=HIDDEN, rollout_steps=T,
+                               warmup_env_steps=0))
+    assert naf_fusable(env, HIDDEN)
+    st = agent.init(0)
+    sigma = jnp.float32(agent.cfg.noise_sigma)
+    fused = naf_policy_rollout(env, HIDDEN, T, interpret=True)
+    ref = reference_naf_rollout(agent, T)
+
+    f_state, f_obs, f_traj = jax.jit(fused)(
+        st.env_state, st.obs, st.params, jnp.int32(0), sigma)
+    r_state, r_obs, r_traj = jax.jit(ref)(
+        st.env_state, st.obs, st.params, jnp.int32(0), sigma)
+
+    for name, f, r in [("obs", f_traj[0], r_traj[0]),
+                       ("action", f_traj[1], r_traj[1]),
+                       ("reward", f_traj[2], r_traj[2])]:
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(f_traj[3]),
+                                  np.asarray(r_traj[3]))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        (f_state.phys, f_obs), (r_state.phys, r_obs))
+    np.testing.assert_array_equal(np.asarray(f_state.steps),
+                                  np.asarray(r_state.steps))
+
+
 def test_q_fusable_gate():
     from cartpoleplusplus_tpu.ops.policy_rollout import q_fusable
 
