@@ -20,6 +20,7 @@ TAG_EPS_GATE = 0x43
 TAG_EPS_ACT = 0x44
 TAG_NAF_X = 0x45
 TAG_NAF_Y = 0x46
+TAG_PG_GUMBEL = 0x47  # LRPG categorical sampling (action index salts it)
 
 
 def local_batch(global_batch: int, num_shards: int) -> int:

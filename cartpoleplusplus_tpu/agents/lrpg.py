@@ -24,7 +24,8 @@ import optax
 
 from ..env import CartPole3D
 from ..models import PolicyMLP
-from .common import as_key, run_rollout
+from ..utils.prng import gumbel
+from .common import TAG_PG_GUMBEL, as_key, run_rollout
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,9 +82,16 @@ class LRPG:
                          baseline=jnp.float32(0.0), env_state=env_state,
                          obs=obs, rng=k_run, env_steps=jnp.int32(0))
 
-    def act(self, params, obs, key):
+    def act(self, params, obs, env_seed, t):
+        """Exact softmax sample via Gumbel-max over counter-PRNG draws:
+        a pure function of (per-env seed, global step), so on-policy
+        sampling is bitwise independent of batch slot and sharding (the
+        CLAUDE.md randomness invariant — jax.random.categorical with a
+        threaded key would make the draw depend on batch position)."""
         logits = self.net.apply(params, obs)
-        return jax.random.categorical(key, logits).astype(jnp.int32)
+        g = jnp.stack([gumbel(env_seed, t, TAG_PG_GUMBEL, a)
+                       for a in range(self.env.num_actions)], axis=-1)
+        return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
 
     def greedy_policy(self, st: LRPGState):
         """Argmax policy fn(obs) -> action."""
@@ -105,14 +113,27 @@ class LRPG:
         entropy = -jnp.mean(jnp.sum(jnp.exp(logp) * logp, axis=-1))
         return pg - self.cfg.entropy_coef * entropy
 
-    def train_step(self, st: LRPGState,
-                   capture: bool = False) -> tuple[LRPGState, dict]:
+    def train_step(self, st: LRPGState, capture: bool = False,
+                   fused: bool = False) -> tuple[LRPGState, dict]:
+        """fused=True runs the rollout through the Pallas
+        softmax-sample-in-the-loop kernel (ops/policy_rollout.py) —
+        numerically twinned (tests/test_policy_rollout.py)."""
         c = self.cfg
-        rng, k_roll = jax.random.split(st.rng)
+        rng = st.rng
+        env_seed = st.env_state.env_seed
 
-        env_state, obs, (obs_t, act_t, rew_t, done_t) = run_rollout(
-            self.env, lambda o, k: self.act(st.params, o, k),
-            st.env_state, st.obs, jax.random.split(k_roll, c.rollout_steps))
+        if fused:
+            from ..ops.policy_rollout import pg_policy_rollout
+            run = pg_policy_rollout(self.env, tuple(c.hidden),
+                                    c.rollout_steps)
+            env_state, obs, (obs_t, act_t, rew_t, done_t) = run(
+                st.env_state, st.obs, st.params, st.env_steps,
+                jnp.float32(0.0))
+        else:
+            env_state, obs, (obs_t, act_t, rew_t, done_t) = run_rollout(
+                self.env, lambda o, t: self.act(st.params, o, env_seed, t),
+                st.env_state, st.obs,
+                st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
 
         # Bootstrap the cut-off tail with the baseline (bias-variance
         # trade-off for the fixed window; exact at episode boundaries).
@@ -148,9 +169,22 @@ class LRPG:
             metrics["traj"] = (obs_t, act_t, rew_t, done_t)
         return st, metrics
 
-    def make_train_step(self, capture: bool = False):
+    def fusable(self) -> bool:
+        """Whether the Pallas softmax-sample rollout covers this
+        env/config shape (ops/policy_rollout.py::pg_fusable)."""
+        from ..ops.policy_rollout import pg_fusable
+        return pg_fusable(self.env, tuple(self.cfg.hidden))
+
+    def make_train_step(self, capture: bool = False, fused=None):
         """Jitted train_step with donated state. capture=True additionally
         returns the rollout chunk in metrics["traj"] (time-major
-        (obs, action, reward, done)) for the event-log sink."""
-        return jax.jit(functools.partial(self.train_step, capture=capture),
+        (obs, action, reward, done)) for the event-log sink. fused=None
+        auto-selects the Pallas rollout kernel on TPU when the shape is
+        coverable."""
+        if fused is None:
+            fused = (self.fusable()
+                     and jax.default_backend() == "tpu"
+                     and len(jax.devices()) == 1)
+        return jax.jit(functools.partial(self.train_step, capture=capture,
+                                         fused=fused),
                        donate_argnums=(0,))

@@ -58,7 +58,7 @@ from ..env.compute import (
 )
 from ..physics import CartPoleParams
 from ..physics.dynamics import substep_components
-from ..utils.prng import hash_words, normal, uniform
+from ..utils.prng import gumbel, hash_words, normal, uniform
 
 # Exploration stream tags — MUST match agents/common.py (unfused paths).
 _TAG_OU_X = 0x41
@@ -67,6 +67,7 @@ _TAG_EPS_GATE = 0x43
 _TAG_EPS_ACT = 0x44
 _TAG_NAF_X = 0x45
 _TAG_NAF_Y = 0x46
+_TAG_PG_GUMBEL = 0x47
 
 _LN_EPS = 1e-6  # flax.linen.LayerNorm default epsilon
 _FRAME_COMPS = 14
@@ -454,8 +455,13 @@ def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
               for i in range(num_layers)]
     head = mlp_forward_fm(obs_fm, layers, w_out_ref[:], b_out_ref[:])
     force = np.float32(p.action_force)
-    if mode == "dqn":
-        # First-max argmax over the 5 Q rows (jnp.argmax tie-break).
+    if mode in ("dqn", "lrpg"):
+        if mode == "lrpg":  # Gumbel-max = exact softmax sample
+            head = jnp.concatenate(
+                [head[i:i + 1, :]
+                 + gumbel(seed_row, tg, np.uint32(_TAG_PG_GUMBEL),
+                          np.uint32(i)) for i in range(5)], axis=0)
+        # First-max argmax over the 5 score rows (jnp.argmax tie-break).
         best = head[0:1, :]
         idx = jnp.zeros_like(best)
         for i in range(1, 5):
@@ -463,11 +469,14 @@ def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
             better = qi > best
             idx = jnp.where(better, np.float32(i), idx)
             best = jnp.maximum(best, qi)
-        rand = (hash_words(seed_row, tg, np.uint32(_TAG_EPS_ACT))
-                % np.uint32(5)).astype(jnp.float32)
-        explore = uniform(0.0, 1.0, seed_row, tg,
-                          np.uint32(_TAG_EPS_GATE)) < eps
-        a_row = jnp.where(explore, rand, idx)  # index as f32 (exact)
+        if mode == "dqn":
+            rand = (hash_words(seed_row, tg, np.uint32(_TAG_EPS_ACT))
+                    % np.uint32(5)).astype(jnp.float32)
+            explore = uniform(0.0, 1.0, seed_row, tg,
+                              np.uint32(_TAG_EPS_GATE)) < eps
+            a_row = jnp.where(explore, rand, idx)  # index as f32 (exact)
+        else:
+            a_row = idx
         act_o[0] = a_row
 
         # action table: noop/+x/-x/+y/-y
@@ -590,6 +599,12 @@ def naf_fusable(env, hidden) -> bool:
     return fusable(env, hidden)
 
 
+def pg_fusable(env, hidden) -> bool:
+    """LRPG kernel coverage: same shape window as the DQN kernel
+    (PolicyMLP has the identical torso + 5-way head structure)."""
+    return q_fusable(env, hidden)
+
+
 def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
     """Builder: jitted fused epsilon-greedy Q-rollout (mode='dqn').
 
@@ -615,20 +630,29 @@ def naf_policy_rollout(env, hidden, num_steps: int,
                                      interpret)
 
 
+def pg_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
+    """Builder: jitted fused LRPG softmax-sample rollout (mode='lrpg';
+    Gumbel-max over counter-PRNG draws, agents/lrpg.py::act). The scalar
+    operand is unused — pass 0.0. Same contract as q_policy_rollout."""
+    return _stateless_policy_rollout(env, hidden, num_steps, "lrpg",
+                                     interpret)
+
+
 def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
                               interpret: bool = False):
     p = env.params
     b = env.num_envs
-    ok = q_fusable(env, hidden) if mode == "dqn" \
-        else naf_fusable(env, hidden)
+    ok = naf_fusable(env, hidden) if mode == "naf" \
+        else q_fusable(env, hidden)
     if not ok:
         raise ValueError("env/config shape not coverable by the fused "
                          f"{mode} rollout (see ops.policy_rollout)")
     rows = b // 128
     obs_dim = _FRAME_COMPS * p.action_repeats
     num_layers = len(hidden)
-    act_rows = 1 if mode == "dqn" else 2
-    flatten = _flatten_q_params if mode == "dqn" else _flatten_naf_params
+    act_rows = 2 if mode == "naf" else 1
+    # QNetMLP and PolicyMLP share the torso + Dense head structure.
+    flatten = _flatten_naf_params if mode == "naf" else _flatten_q_params
 
     kernel = functools.partial(_q_rollout_kernel, p, num_layers, num_steps,
                                mode)
@@ -715,8 +739,8 @@ def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
                              episode=flat_st[11],
                              env_seed=state.env_seed)
         new_obs = jnp.transpose(out[16])
-        action = (act_t[:, 0, :].astype(jnp.int32) if mode == "dqn"
-                  else jnp.transpose(act_t, (0, 2, 1)))
+        action = (jnp.transpose(act_t, (0, 2, 1)) if mode == "naf"
+                  else act_t[:, 0, :].astype(jnp.int32))
         traj = (jnp.transpose(obs_t, (0, 2, 1)),
                 action,
                 rew_t[:, 0, :],
@@ -735,6 +759,27 @@ def reference_q_rollout(agent, num_steps: int):
         def body(carry, t):
             st, o = carry
             a = agent.act(q_params, o, st.env_seed, t, eps)
+            st, o_next, reward, done, _ = env.step(st, a)
+            return (st, o_next), (o, a, reward, done)
+
+        (state, obs), traj = jax.lax.scan(
+            body, (state, obs),
+            env_steps + jnp.arange(num_steps, dtype=jnp.int32))
+        return state, obs, traj
+
+    return run
+
+
+def reference_pg_rollout(agent, num_steps: int):
+    """XLA twin of the fused LRPG rollout — the rollout body of
+    agents/lrpg.py::train_step (the scalar operand mirrors the kernel
+    signature and is unused)."""
+    env = agent.env
+
+    def run(state, obs, params, env_steps, _unused):
+        def body(carry, t):
+            st, o = carry
+            a = agent.act(params, o, st.env_seed, t)
             st, o_next, reward, done, _ = env.step(st, a)
             return (st, o_next), (o, a, reward, done)
 

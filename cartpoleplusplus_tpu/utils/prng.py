@@ -78,3 +78,15 @@ def normal(*words):
     u2 = uniform_from_bits(hash_words(*words, np.uint32(0xB1)))
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
         np.float32(2.0 * np.pi) * u2)
+
+
+def gumbel(*words):
+    """One standard-Gumbel draw per element: g = -log(-log(u)).
+
+    For Gumbel-max categorical sampling (argmax(logits + g) is an exact
+    softmax sample). u is clamped to [2^-24, 1) so both logs are finite.
+    Same counter-stream contract as `normal` — a pure function of the
+    words, usable identically in XLA, Pallas kernels, and numpy."""
+    u = uniform_from_bits(hash_words(*words, np.uint32(0xB2)),
+                          lo=np.float32(2.0 ** -24), hi=1.0)
+    return -jnp.log(-jnp.log(u))

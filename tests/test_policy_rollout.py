@@ -195,6 +195,59 @@ def test_fused_naf_rollout_matches_env_scan():
                                   np.asarray(r_state.steps))
 
 
+def test_fused_lrpg_rollout_matches_env_scan():
+    """The fused LRPG rollout (Gumbel-max softmax sampling in-kernel)
+    twins agents/lrpg.py's rollout scan — actions exactly, and the
+    sampled stream is non-degenerate."""
+    from cartpoleplusplus_tpu import CartPoleParams
+    from cartpoleplusplus_tpu.agents import LRPG, LRPGConfig
+    from cartpoleplusplus_tpu.ops.policy_rollout import (
+        pg_fusable, pg_policy_rollout, reference_pg_rollout)
+
+    env = CartPole3D(CartPoleParams(), num_envs=1024)
+    agent = LRPG(env, LRPGConfig(hidden=HIDDEN, rollout_steps=T))
+    assert pg_fusable(env, HIDDEN)
+    st = agent.init(0)
+    fused = pg_policy_rollout(env, HIDDEN, T, interpret=True)
+    ref = reference_pg_rollout(agent, T)
+
+    f_state, f_obs, f_traj = jax.jit(fused)(
+        st.env_state, st.obs, st.params, jnp.int32(0), jnp.float32(0.0))
+    r_state, r_obs, r_traj = jax.jit(ref)(
+        st.env_state, st.obs, st.params, jnp.int32(0), jnp.float32(0.0))
+
+    assert f_traj[1].dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(f_traj[1]),
+                                  np.asarray(r_traj[1]))
+    acts = np.asarray(f_traj[1])
+    assert len(np.unique(acts)) == 5, "softmax sample degenerate"
+    np.testing.assert_allclose(np.asarray(f_traj[2]),
+                               np.asarray(r_traj[2]),
+                               rtol=2e-4, atol=2e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        (f_state.phys, f_obs), (r_state.phys, r_obs))
+
+
+def test_lrpg_sampling_matches_softmax_distribution():
+    """Gumbel-max over the counter streams IS a softmax sample: empirical
+    frequencies over many steps match softmax(logits)."""
+    import jax.nn
+    from cartpoleplusplus_tpu.utils.prng import gumbel
+
+    logits = jnp.array([1.0, 0.5, 0.0, -0.5, -1.0])
+    seeds = jnp.arange(4096, dtype=jnp.uint32)
+    draws = []
+    for t in range(8):
+        g = jnp.stack([gumbel(seeds, jnp.uint32(t), 0x47, a)
+                       for a in range(5)], -1)
+        draws.append(jnp.argmax(logits[None, :] + g, -1))
+    freq = np.bincount(np.asarray(jnp.concatenate(draws)), minlength=5) \
+        / (4096 * 8)
+    np.testing.assert_allclose(freq, np.asarray(jax.nn.softmax(logits)),
+                               atol=0.02)
+
+
 def test_q_fusable_gate():
     from cartpoleplusplus_tpu.ops.policy_rollout import q_fusable
 
