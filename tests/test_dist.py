@@ -193,3 +193,23 @@ def test_exploration_noise_layout_independent():
                                   np.asarray(sm_state.env_state.phys.s))
     np.testing.assert_array_equal(np.asarray(ref_state.noise),
                                   np.asarray(sm_state.noise))
+
+
+def test_lrpg_sampling_batch_slot_independent():
+    """LRPG's Gumbel-max softmax sampling is a counter-PRNG function of
+    (per-env seed, step): the same env presented in any batch slicing
+    draws the identical action (jax.random.categorical with a threaded
+    key violated this — the draw depended on batch position)."""
+    from cartpoleplusplus_tpu.agents import LRPG, LRPGConfig
+
+    env = CartPole3D(CartPoleParams(), num_envs=64)
+    agent = LRPG(env, LRPGConfig(hidden=(16,)))
+    st = agent.init(0)
+    seeds = st.env_state.env_seed
+    t = jnp.int32(5)
+    a_full = agent.act(st.params, st.obs, seeds, t)
+    a_lo = agent.act(st.params, st.obs[:32], seeds[:32], t)
+    a_hi = agent.act(st.params, st.obs[32:], seeds[32:], t)
+    np.testing.assert_array_equal(
+        np.asarray(a_full),
+        np.concatenate([np.asarray(a_lo), np.asarray(a_hi)]))
