@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ReplayState(NamedTuple):
@@ -67,8 +68,19 @@ class ReplayBuffer:
         self.action_dim = action_dim
         self.discrete = discrete
         self.quantize_obs = quantize_obs
+        # Pixel obs are stored FLAT: (B, C, H*W*ch) instead of
+        # (B, C, H, W, ch). 48x48x18 = 41472 = 324 lanes exactly, so the
+        # ring tiles with zero padding and XLA keeps the natural
+        # minor-to-major layout — with the 5-D shape the TPU layout
+        # assigner picked an env-minor layout (1.3x pad expansion) and
+        # inserted a full-ring relayout copy, which alone OOMed the chip
+        # at 512 pixel envs (observed: 6.75G copy of a 5.06G ring).
+        self._flat_dim = int(np.prod(self.obs_shape))
 
     def _encode_obs(self, obs):
+        """(..., *obs_shape) -> (..., flat) in the storage dtype."""
+        lead = obs.shape[:obs.ndim - len(self.obs_shape)]
+        obs = obs.reshape(lead + (self._flat_dim,))
         if self.quantize_obs:
             if obs.dtype == jnp.uint8:  # env already quantized (obs_uint8)
                 return obs
@@ -76,9 +88,11 @@ class ReplayBuffer:
         return obs.astype(jnp.float32)
 
     def _decode_obs(self, stored):
+        """(..., flat) -> (..., *obs_shape) float32."""
+        out = stored.reshape(stored.shape[:-1] + self.obs_shape)
         if self.quantize_obs:
-            return stored.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        return stored
+            return out.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        return out
 
     def init(self) -> ReplayState:
         b, c = self.num_envs, self.capacity
@@ -88,7 +102,7 @@ class ReplayBuffer:
             action = jnp.zeros((b, c, self.action_dim), jnp.float32)
         obs_dtype = jnp.uint8 if self.quantize_obs else jnp.float32
         return ReplayState(
-            obs=jnp.zeros((b, c) + self.obs_shape, obs_dtype),
+            obs=jnp.zeros((b, c, self._flat_dim), obs_dtype),
             action=action,
             reward=jnp.zeros((b, c), jnp.float32),
             done=jnp.zeros((b, c), bool),
@@ -124,20 +138,38 @@ class ReplayBuffer:
         Fast path (the one that runs in practice): when the chunk length
         divides the capacity and the cursor is chunk-aligned — always
         true when the buffer is fed only by fixed-length rollouts — the
-        whole chunk lands as ONE batch-major dynamic_update_slice. The
-        per-step scan fallback is kept for odd shapes/cursors, but on
-        TPU XLA materializes a full ring copy per scan iteration
-        (measured 28.5 ms/chunk vs ~2 ms for the slice at 4096 envs x
-        32 steps — the round-1 end-to-end bottleneck).
+        whole chunk lands as ONE batch-major dynamic_update_slice
+        (~2 ms at 4096 envs x 32 steps). The fallback for odd
+        shapes/cursors is a batch-major scatter on the wrapped slot
+        indices — in-place like the DUS (a per-step scan here made XLA
+        double-buffer the whole ring: the round-1 28.5 ms/chunk
+        bottleneck, and a full-ring HLO-temp copy that OOMed pixel
+        replay at 512 envs).
         """
         t = obs.shape[0]
 
         def slow(rs):
-            def body(carry, tr):
-                return self.add(carry, *tr), None
+            i = rs.cursor
+            # t > capacity: only the last `capacity` writes survive a
+            # sequential ring pass — drop the overwritten prefix so the
+            # scatter indices stay unique (duplicate-index set order is
+            # unspecified).
+            off = max(t - self.capacity, 0)
+            tt = t - off
+            idx = (i + off + jnp.arange(tt, dtype=jnp.int32)) % self.capacity
 
-            rs, _ = jax.lax.scan(body, rs, (obs, action, reward, done))
-            return rs
+            def put(buf, rows):
+                rows = jnp.moveaxis(rows[off:].astype(buf.dtype), 0, 1)
+                return buf.at[:, idx].set(rows)
+
+            return ReplayState(
+                obs=put(rs.obs, self._encode_obs(obs)),
+                action=put(rs.action, action),
+                reward=put(rs.reward, reward),
+                done=put(rs.done, done),
+                cursor=(i + t) % self.capacity,
+                filled=jnp.minimum(rs.filled + t, self.capacity),
+            )
 
         if self.capacity % t != 0 or t > self.capacity:
             return slow(rs)

@@ -112,11 +112,17 @@ def test_env_pixels_uint8_obs_mode():
     zq = enc.apply(params, o8.astype(jnp.float32) / 255.0)
     np.testing.assert_allclose(np.asarray(z8), np.asarray(zq),
                                rtol=1e-5, atol=1e-6)
-    # Replay encode is the identity on already-uint8 obs.
+    # Replay encode is the identity (modulo flat storage) on uint8 obs.
     from cartpoleplusplus_tpu.agents.replay import ReplayBuffer
     rb = ReplayBuffer(num_envs=3, capacity_per_env=8,
                       obs_shape=env8.obs_shape, quantize_obs=True)
-    assert np.array_equal(np.asarray(rb._encode_obs(o8)), np.asarray(o8))
+    enc = np.asarray(rb._encode_obs(o8))
+    assert enc.dtype == np.uint8
+    assert np.array_equal(enc, np.asarray(o8).reshape(3, -1))
+    # and decode round-trips to the original shape/values.
+    np.testing.assert_allclose(
+        np.asarray(rb._decode_obs(rb._encode_obs(o8))),
+        np.asarray(o8).astype(np.float32) / 255.0, atol=1e-7)
 
 
 def test_render_kernel_parity_interpret():
