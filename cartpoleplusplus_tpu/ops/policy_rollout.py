@@ -470,8 +470,13 @@ def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
             idx = jnp.where(better, np.float32(i), idx)
             best = jnp.maximum(best, qi)
         if mode == "dqn":
-            rand = (hash_words(seed_row, tg, np.uint32(_TAG_EPS_ACT))
-                    % np.uint32(5)).astype(jnp.float32)
+            # Mosaic rejects uint32->f32 casts on hardware; build the f32
+            # action index from bool comparisons (bool->f32 is supported),
+            # exactly as fused_rollout.bench_action_force does.
+            r_u = (hash_words(seed_row, tg, np.uint32(_TAG_EPS_ACT))
+                   % np.uint32(5))
+            rand = sum((r_u == np.uint32(i)).astype(jnp.float32)
+                       * np.float32(i) for i in range(1, 5))
             explore = uniform(0.0, 1.0, seed_row, tg,
                               np.uint32(_TAG_EPS_GATE)) < eps
             a_row = jnp.where(explore, rand, idx)  # index as f32 (exact)
