@@ -9,6 +9,7 @@ step-level API the reference exposed via TF Saver + `--ckpt-dir`.
 from __future__ import annotations
 
 import os
+import sys
 
 import jax
 import orbax.checkpoint as ocp
@@ -28,6 +29,39 @@ def _to_pytree(state, exclude=()):
         return {k: _to_pytree(v) for k, v in state._asdict().items()
                 if k not in exclude}
     return state
+
+
+def _on_disk_fields(item_dir: str):
+    """Top-level field names actually present in a saved checkpoint.
+
+    Returns None when metadata is unreadable (then no template pruning
+    happens and restore behaves strictly, as before). Used to reconcile
+    the restore template with what the save-time `exclude` left on disk,
+    so `--eval-only` on a weights-only (`--no-ckpt-full`) checkpoint
+    works without the caller re-passing the save-time exclusion.
+    """
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            meta = ckptr.metadata(item_dir).item_metadata
+        return set(meta.keys())
+    except Exception:
+        return None
+
+
+def _reconcile(abstract: dict, fields):
+    """Prune `abstract` (the top-level restore request) to the fields on
+    disk. Returns (request, needs_partial): needs_partial is True when
+    the checkpoint holds fields the request does not ask for (e.g. a
+    full save restored weights-only), which orbax only allows via a
+    partial restore."""
+    if fields is None:
+        return abstract, False
+    dropped = sorted(k for k in abstract if k not in fields)
+    if dropped:
+        print(f"ckpt: {', '.join(dropped)} not in checkpoint (weights-only "
+              "save?); keeping fresh values", file=sys.stderr)
+    request = {k: v for k, v in abstract.items() if k in fields}
+    return request, bool(fields - set(request))
 
 
 def _merge_restored(template, tree):
@@ -60,13 +94,21 @@ def save_checkpoint(path: str, state, force: bool = True,
 def restore_checkpoint(path: str, target, exclude: tuple = ()):
     """Restore into the structure (and shardings) of `target` — pass the
     freshly-initialized agent state; arrays land with target's sharding,
-    which makes this multi-host / re-layout safe. `exclude` must match
-    the save-time exclusion; excluded fields keep target's values."""
+    which makes this multi-host / re-layout safe. Fields absent from the
+    on-disk checkpoint (a weights-only save) keep target's values;
+    `exclude` drops further fields from the request regardless."""
     path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
-                                _to_pytree(target, exclude))
-        restored = ckptr.restore(path, abstract)
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                            _to_pytree(target, exclude))
+    request, needs_partial = _reconcile(abstract, _on_disk_fields(path))
+    if needs_partial:
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+            restored = ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(item=request,
+                                                  partial_restore=True))
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, request)
     return _merge_restored(target, restored)
 
 
@@ -101,14 +143,31 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, target, step: int | None = None):
-        """Restore `step` (default: latest) into `target`'s structure."""
+        """Restore `step` (default: latest) into `target`'s structure.
+
+        Adapts to the checkpoint's save-time exclusion: fields missing
+        on disk keep `target`'s values (so `--eval-only` works on a
+        weights-only save without re-passing `--no-ckpt-full`), and a
+        full save restored with an exclusion uses a partial restore."""
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no checkpoint to restore")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
                                 _to_pytree(target, self._exclude))
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract))
+        # Single-item CheckpointManager saves live under <dir>/<step>/default.
+        item_dir = os.path.join(str(self._mgr.directory), str(step),
+                                "default")
+        if not os.path.isdir(item_dir):
+            item_dir = os.path.join(str(self._mgr.directory), str(step))
+        request, needs_partial = _reconcile(abstract,
+                                            _on_disk_fields(item_dir))
+        if needs_partial:
+            restored = self._mgr.restore(
+                step, args=ocp.args.PyTreeRestore(item=request,
+                                                  partial_restore=True))
+        else:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(request))
         return _merge_restored(target, restored)
 
     def wait_until_finished(self):

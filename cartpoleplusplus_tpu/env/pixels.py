@@ -121,7 +121,7 @@ def ray_constants_np(cam: CameraConfig, width: int, height: int):
 
 def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
                      dx, dy, dz, idx_, idy_, idz_,
-                     cx, cy, cz, ux, uy, uz):
+                     cx, cy, cz, ux, uy, uz, gray: bool = False):
     """The full per-pixel raycast + Lambert shade, all-elementwise.
 
     Single math source for the XLA path and the Pallas kernel
@@ -129,7 +129,11 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
     rendering. Ray components (dx, dy, dz) and their reciprocals
     broadcast against env components (cx..uz); every op is elementwise
     on the broadcast shape (the VPU's native form; no (..., 3) vectors,
-    no stack/argmin). Returns (r, g, b) in [0, 1].
+    no stack/argmin). Returns (r, g, b) in [0, 1], or a single
+    luminance plane when `gray` (the grayscale fast path: compositing
+    mean-color constants once instead of three channels — identical to
+    averaging the channels afterwards because every channel value is in
+    [0, 1] by construction, so the final clip commutes with the mean).
     """
     import numpy as np
 

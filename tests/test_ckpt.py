@@ -105,3 +105,43 @@ def test_weights_only_checkpoint(tmp_path):
     _assert_tree_equal(jax.tree.map(np.asarray, fresh.replay),
                        restored.replay)
     assert int(restored.replay.filled) == 0
+
+
+def test_restore_adapts_to_weights_only_save(tmp_path):
+    """A weights-only save restores through a FULL-template manager
+    (the --eval-only-after---no-ckpt-full workflow): on-disk fields load,
+    missing ones keep the fresh target's values — no exclusion re-pass."""
+    agent = _agent()
+    st = agent.init(0)
+    step = agent.make_train_step()
+    st, _ = step(st)
+    saved = jax.tree.map(np.asarray, st)
+    with CheckpointManager(str(tmp_path / "w"), exclude=("replay",)) as mgr:
+        assert mgr.save(0, st)
+        mgr.wait_until_finished()
+    # Fresh manager WITHOUT the exclusion — must still restore.
+    fresh = agent.init(1)
+    with CheckpointManager(str(tmp_path / "w")) as mgr2:
+        restored = mgr2.restore(fresh)
+    _assert_tree_equal(saved.actor, restored.actor)
+    _assert_tree_equal(jax.tree.map(np.asarray, st.env_state),
+                       restored.env_state)
+    assert int(restored.replay.filled) == 0  # fresh replay, not on disk
+
+
+def test_weights_only_restore_of_full_save(tmp_path):
+    """The reverse direction: a FULL save restored with exclude=("replay",)
+    partial-restores just the requested fields."""
+    agent = _agent()
+    st = agent.init(0)
+    step = agent.make_train_step()
+    st, _ = step(st)
+    saved = jax.tree.map(np.asarray, st)
+    save_checkpoint(str(tmp_path / "full"), st)
+    fresh = agent.init(1)
+    restored = restore_checkpoint(str(tmp_path / "full"), fresh,
+                                  exclude=("replay",))
+    _assert_tree_equal(saved.actor, restored.actor)
+    _assert_tree_equal(saved.critic, restored.critic)
+    _assert_tree_equal(jax.tree.map(np.asarray, fresh.replay),
+                       restored.replay)
