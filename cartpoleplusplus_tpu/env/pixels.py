@@ -220,6 +220,24 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
     shade_p = f(0.45) + f(0.55) * jnp.maximum(nl_p, f(0.0))
 
     # --- composite: closest-so-far (same order as render()).
+    clip01 = lambda v: jnp.clip(v, f(0.0), one)  # noqa: E731
+    if gray:
+        # Luminance-only composite: material colors collapse to their
+        # channel means (ground is already gray). One select chain and
+        # one output plane instead of three.
+        cl = f(sum(_CART_COL) / 3.0)
+        pl_ = f(sum(_POLE_COL) / 3.0)
+        sl = f(sum(_SKY_COL) / 3.0)
+        t_hit = t_g
+        lum = g_lum
+        closer = t_c < t_hit
+        lum = jnp.where(closer, cl * shade_c, lum)
+        t_hit = jnp.minimum(t_c, t_hit)
+        closer = t_p < t_hit
+        lum = jnp.where(closer, pl_ * shade_p, lum)
+        t_hit = jnp.minimum(t_p, t_hit)
+        lum = jnp.where(t_hit >= f(_BIG * 0.5), sl, lum)
+        return (clip01(lum),)
     ccr, ccg, ccb = (f(v) for v in _CART_COL)
     pcr, pcg, pcb = (f(v) for v in _POLE_COL)
     skr, skg, skb = (f(v) for v in _SKY_COL)
@@ -239,13 +257,13 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
     cr = jnp.where(sky, skr, cr)
     cg_ = jnp.where(sky, skg, cg_)
     cb = jnp.where(sky, skb, cb)
-    clip01 = lambda v: jnp.clip(v, f(0.0), one)  # noqa: E731
     return clip01(cr), clip01(cg_), clip01(cb)
 
 
 def render(p: CartPoleParams, phys: PhysState, cfg: RenderConfig,
-           cam: CameraConfig) -> jax.Array:
-    """One camera view of every env: (B, H, W, 3) float32 in [0, 1].
+           cam: CameraConfig, gray: bool = False) -> jax.Array:
+    """One camera view of every env: (B, H, W, 3) float32 in [0, 1]
+    ((B, H, W, 1) luminance when `gray`).
 
     Thin broadcast wrapper over `shade_components` (the single math
     source, shared with the Pallas render kernel ops/render_kernel.py):
@@ -259,21 +277,22 @@ def render(p: CartPoleParams, phys: PhysState, cfg: RenderConfig,
     col = lambda v: v.astype(dt)[:, None]  # noqa: E731 - (B, 1) column
     sx, sy = phys.s[..., 0], phys.s[..., 1]
     w = pole_w(p, sx, sy)
-    r, g, bl = shade_components(
+    chans = shade_components(
         p, cfg, eye, *rays,
         col(phys.pos[..., 0]), col(phys.pos[..., 1]),
-        col(phys.pos[..., 2]), col(sx), col(sy), col(w))
-    img = jnp.stack([r, g, bl], axis=-1).reshape(
-        b, cfg.height, cfg.width, 3)
+        col(phys.pos[..., 2]), col(sx), col(sy), col(w), gray=gray)
+    img = jnp.stack(chans, axis=-1).reshape(
+        b, cfg.height, cfg.width, len(chans))
     return img.astype(jnp.float32)
 
 
 def render_all_cameras(p: CartPoleParams, phys: PhysState,
                        cfg: RenderConfig) -> jax.Array:
-    """(B, H, W, 3*num_cameras) — cameras stacked on channels."""
-    views = [render(p, phys, cfg, cam) for cam in cfg.cameras]
-    if cfg.grayscale:
-        views = [jnp.mean(v, -1, keepdims=True) for v in views]
+    """(B, H, W, C*num_cameras) — cameras stacked on channels (C=3 RGB,
+    or 1 when cfg.grayscale: the luminance composite runs inside the
+    shade itself rather than averaging three rendered channels)."""
+    views = [render(p, phys, cfg, cam, gray=cfg.grayscale)
+             for cam in cfg.cameras]
     return jnp.concatenate(views, axis=-1)
 
 

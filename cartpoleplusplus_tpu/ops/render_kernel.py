@@ -52,6 +52,21 @@ def _render_cam_kernel(p: CartPoleParams, cfg: RenderConfig, eye, dt,
     b_ref[:] = b.astype(jnp.float32)
 
 
+def _render_cam_kernel_gray(p: CartPoleParams, cfg: RenderConfig, eye, dt,
+                            cx_ref, cy_ref, cz_ref, ux_ref, uy_ref, uz_ref,
+                            dx_ref, dy_ref, dz_ref, ix_ref, iy_ref, iz_ref,
+                            lum_ref):
+    """Grayscale fast path: luminance composited in-kernel (one output
+    plane, one select chain — shade_components(gray=True)), cutting the
+    kernel's HBM writes 3x for the grayscale learning config."""
+    rays = [ref[:].astype(dt) for ref in
+            (dx_ref, dy_ref, dz_ref, ix_ref, iy_ref, iz_ref)]
+    cols = [ref[:].astype(dt) for ref in
+            (cx_ref, cy_ref, cz_ref, ux_ref, uy_ref, uz_ref)]
+    (lum,) = _px.shade_components(p, cfg, eye, *rays, *cols, gray=True)
+    lum_ref[:] = lum.astype(jnp.float32)
+
+
 def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
                   num_envs: int, interpret: bool = False):
     """Builder: fn(phys) -> (B, H, W, 3) f32 for one camera, kernelized.
@@ -72,7 +87,10 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
     dt = jnp.float32
     eye, dcomp, icomp = ray_constants_np(cam, cfg.width, cfg.height)
 
-    kernel = functools.partial(_render_cam_kernel, p, cfg, eye, dt)
+    gray = cfg.grayscale
+    nch = 1 if gray else 3
+    kern = _render_cam_kernel_gray if gray else _render_cam_kernel
+    kernel = functools.partial(kern, p, cfg, eye, dt)
     env_col = pl.BlockSpec((be, 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     ray_row = pl.BlockSpec((1, npx), lambda i: (0, 0),
@@ -82,9 +100,9 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
     call = pl.pallas_call(
         kernel,
         grid=(b // be,),
-        out_shape=(jax.ShapeDtypeStruct((b, npx), jnp.float32),) * 3,
+        out_shape=(jax.ShapeDtypeStruct((b, npx), jnp.float32),) * nch,
         in_specs=[env_col] * 6 + [ray_row] * 6,
-        out_specs=(out_rows,) * 3,
+        out_specs=(out_rows,) * nch,
         interpret=interpret,
     )
 
@@ -95,9 +113,9 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
                 sx, sy, w]
         args = [c.astype(jnp.float32)[:, None] for c in cols]
         args += [jnp.asarray(c) for c in dcomp + icomp]
-        r, g, bl = call(*args)
-        return jnp.stack([r, g, bl], axis=-1).reshape(
-            b, cfg.height, cfg.width, 3)
+        chans = call(*args)
+        return jnp.stack(chans, axis=-1).reshape(
+            b, cfg.height, cfg.width, nch)
 
     return run
 
@@ -105,14 +123,13 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
 def pallas_render_all(p: CartPoleParams, cfg: RenderConfig, num_envs: int,
                       interpret: bool = False):
     """All cameras stacked on channels — kernel twin of
-    env/pixels.py::render_all_cameras."""
+    env/pixels.py::render_all_cameras. Grayscale composites luminance
+    inside the kernel (one plane per camera) rather than averaging
+    three rendered channels afterwards."""
     fns = [pallas_render(p, cfg, cam, num_envs, interpret=interpret)
            for cam in cfg.cameras]
 
     def run(phys: PhysState):
-        views = [f(phys) for f in fns]
-        if cfg.grayscale:
-            views = [jnp.mean(v, -1, keepdims=True) for v in views]
-        return jnp.concatenate(views, axis=-1)
+        return jnp.concatenate([f(phys) for f in fns], axis=-1)
 
     return run

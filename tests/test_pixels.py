@@ -143,3 +143,36 @@ def test_render_kernel_parity_interpret():
     np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     assert not renderable(RenderConfig(width=10, height=10), 8)
+
+
+def test_grayscale_composite_parity():
+    """Grayscale path invariants: (a) the in-shade luminance composite
+    equals the mean of the RGB channels (clip commutes: all channel
+    values are in [0, 1] by construction); (b) the Pallas gray kernel
+    matches the XLA gray path; (c) the env emits 1 channel per
+    camera-repeat."""
+    from cartpoleplusplus_tpu.ops.render_kernel import pallas_render_all
+    cfg_g = RenderConfig(width=16, height=16, grayscale=True)
+    cfg_rgb = RenderConfig(width=16, height=16)
+    phys = rest_state(P, batch_shape=(8,))
+    phys = phys._replace(
+        pos=phys.pos.at[:, 0].set(jnp.linspace(-1.0, 1.0, 8)),
+        s=phys.s.at[:, 0].set(jnp.linspace(-0.25, 0.25, 8)))
+    gray = np.asarray(jax.jit(
+        lambda ph: render_all_cameras(P, ph, cfg_g))(phys))
+    rgb = np.asarray(jax.jit(
+        lambda ph: render_all_cameras(P, ph, cfg_rgb))(phys))
+    assert gray.shape == (8, 16, 16, 2) and rgb.shape == (8, 16, 16, 6)
+    np.testing.assert_allclose(gray[..., 0], rgb[..., :3].mean(-1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gray[..., 1], rgb[..., 3:].mean(-1),
+                               rtol=1e-5, atol=1e-5)
+    ker = np.asarray(jax.jit(
+        pallas_render_all(P, cfg_g, 8, interpret=True))(phys))
+    np.testing.assert_allclose(ker, gray, rtol=1e-5, atol=1e-5)
+
+    env = CartPole3D(P, num_envs=3, obs_mode="pixels",
+                     render_config=cfg_g)
+    assert env.obs_shape == (16, 16, 1 * 2 * P.action_repeats)
+    _, obs = jax.jit(env.reset)(0)
+    assert obs.shape == (3,) + env.obs_shape
