@@ -231,9 +231,14 @@ def bench_pixels(num_envs: int, num_steps: int):
     # time (RenderConfig.obs_uint8): 4x less HBM traffic through the
     # stack/auto-reset-select pipeline downstream of the raycast.
     u8 = os.environ.get("BENCH_PIXELS_U8", "0") == "1"
+    # BENCH_PIXELS_GRAY=1 benches the grayscale learning config (the
+    # pixel-DDPG sweep winner): luminance composited inside the render
+    # kernel, one output plane per camera instead of three.
+    gray = os.environ.get("BENCH_PIXELS_GRAY", "0") == "1"
     env = CartPole3D(continuous_params(), num_envs=num_envs,
                      obs_mode="pixels",
-                     render_config=RenderConfig(dtype=dtype, obs_uint8=u8))
+                     render_config=RenderConfig(dtype=dtype, obs_uint8=u8,
+                                                grayscale=gray))
     stats = measure_env_steps_per_sec(env, num_steps=num_steps, repeats=3)
     frames = (len(env.render_config.cameras)
               * env.params.action_repeats * stats["env_steps_per_sec"])

@@ -34,6 +34,7 @@ from ..physics import (
     CartPoleParams,
     PhysState,
     pole_w,
+    rest_state,
     run_substeps,
 )
 from ..utils.prng import hash_words
@@ -225,6 +226,23 @@ class CartPole3D:
                 jnp.uint8)
         return frame
 
+    def _reset_obs_pixels(self) -> jax.Array:
+        """(1, H, W, C*R) — the observation every freshly-reset env sees.
+
+        The fresh-episode pose is deterministic: reset randomness enters
+        through velocities only (env/compute.py::reset_components), and
+        rendering reads only pos and s, so the reset observation is ONE
+        constant image. Rendered here at batch 1 on the XLA path and
+        broadcast through the auto-reset select — instead of
+        re-rendering the whole post-reset batch, which cost 1 of the 4
+        renders in every pixel-mode env-step."""
+        phys1 = rest_state(self.params, batch_shape=(1,))
+        frame = render_all_cameras(self.params, phys1, self.render_config)
+        if self.render_config.obs_uint8:
+            frame = jnp.clip(frame * 255.0 + 0.5, 0.0, 255.0).astype(
+                jnp.uint8)
+        return stack_obs([frame] * self.params.action_repeats)
+
     def _initial_obs(self, phys: PhysState) -> jax.Array:
         if self.obs_mode == "state":
             return state_obs(self.params, phys)
@@ -288,7 +306,12 @@ class CartPole3D:
             if self.obs_mode == "state":
                 obs = state_obs(p, phys)
             else:
-                reset_obs = self._initial_obs(phys)
+                if self.obs_mode == "pixels":
+                    # One constant (1, H, W, C*R) image, broadcast —
+                    # the reset pose is deterministic (see helper).
+                    reset_obs = self._reset_obs_pixels()
+                else:
+                    reset_obs = self._initial_obs(phys)
                 done_b = done.reshape(
                     done.shape + (1,) * (reset_obs.ndim - done.ndim))
                 obs = jnp.where(done_b, reset_obs, terminal_obs)

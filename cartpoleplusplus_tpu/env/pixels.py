@@ -119,8 +119,58 @@ def ray_constants_np(cam: CameraConfig, width: int, height: int):
             tuple(inv[None, :, i] for i in range(3)))
 
 
+def static_rows_np(cam: CameraConfig, cfg: RenderConfig, gray: bool):
+    """Every state-independent per-pixel quantity, hoisted to trace time.
+
+    The ground plane, the sky, the camera rays and the light are all
+    static, so everything that depends only on them is a pure function
+    of the pixel index — precomputed here (numpy, f32 throughout) and
+    fed to the shade as constant (1, H*W) rows instead of being
+    recomputed per env per frame on the VPU. Rows, in order:
+
+      t_g            ground hit distance (_BIG at miss) — deletes the
+                     plane test + checkerboard floor/mod chain;
+      bg (1 or 3)    background composite: checkerboard shade where the
+                     ground is hit, sky color where not (1 luminance
+                     row when `gray`, else 3 RGB rows) — deletes the
+                     final sky select;
+      ha_x/y/z       cart_half_extent * |1/d| per axis — the slab
+                     min/max over the ± faces collapses to q ∓ ha
+                     (sign-folded slab test);
+      nl_x/y/z       -sign(d)·light per axis — the cart face-normal
+                     Lambert dot, already resolved per pixel.
+
+    Returns (rows, n_bg) with rows a flat tuple of (1, H*W) f32 arrays.
+    """
+    import numpy as np
+
+    f = np.float32
+    eye, (dx, dy, dz), (idx_, idy_, idz_) = ray_constants_np(
+        cam, cfg.width, cfg.height)
+    ex, ey, ez = eye
+    lx, ly, lz = _light_np()
+    t = f(-1.0) * ez * idz_
+    hit = (dz < f(-1e-6)) & (t > f(0.0))
+    t_g = np.where(hit, t, f(_BIG)).astype(np.float32)
+    checker = np.mod(np.floor(ex + t_g * dx) + np.floor(ey + t_g * dy),
+                     f(2.0))
+    shade_up = f(0.45 + 0.55 * max(float(lz), 0.0))
+    g_lum = ((f(0.35) + f(0.25) * checker) * shade_up).astype(np.float32)
+    if gray:
+        sky = f(sum(_SKY_COL) / 3.0)
+        bg = (np.where(hit, g_lum, sky).astype(np.float32),)
+    else:
+        bg = tuple(np.where(hit, g_lum, f(c)).astype(np.float32)
+                   for c in _SKY_COL)
+    hx, hy, hz = (f(v) for v in cfg.cart_half_extents)
+    ha = (np.abs(idx_) * hx, np.abs(idy_) * hy, np.abs(idz_) * hz)
+    nl = (-np.sign(dx) * lx, -np.sign(dy) * ly, -np.sign(dz) * lz)
+    rows = (t_g,) + bg + tuple(a.astype(np.float32) for a in ha + nl)
+    return rows, len(bg)
+
+
 def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
-                     dx, dy, dz, idx_, idy_, idz_,
+                     dx, dy, dz, idx_, idy_, idz_, static,
                      cx, cy, cz, ux, uy, uz, gray: bool = False):
     """The full per-pixel raycast + Lambert shade, all-elementwise.
 
@@ -129,11 +179,15 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
     rendering. Ray components (dx, dy, dz) and their reciprocals
     broadcast against env components (cx..uz); every op is elementwise
     on the broadcast shape (the VPU's native form; no (..., 3) vectors,
-    no stack/argmin). Returns (r, g, b) in [0, 1], or a single
-    luminance plane when `gray` (the grayscale fast path: compositing
-    mean-color constants once instead of three channels — identical to
-    averaging the channels afterwards because every channel value is in
-    [0, 1] by construction, so the final clip commutes with the mean).
+    no stack/argmin). Everything state-independent — ground hit + sky
+    background, sign-folded slab half-widths, cart face-normal Lambert
+    rows — arrives precomputed in `static` (static_rows_np): only the
+    two moving bodies cost per-env VPU work.
+    Returns (r, g, b) in [0, 1], or a single luminance plane when
+    `gray` (the grayscale fast path: compositing mean-color constants
+    once instead of three channels — identical to averaging the
+    channels afterwards because every channel value is in [0, 1] by
+    construction, so the final clip commutes with the mean).
     """
     import numpy as np
 
@@ -144,41 +198,41 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
     ex, ey, ez = eye
     lx, ly, lz = _light_np()
     big = f(_BIG)
+    n_bg = 1 if gray else 3
+    t_g = static[0]
+    bg = static[1:1 + n_bg]
+    hax, hay, haz, nlx, nly, nlz = static[1 + n_bg:]
 
-    # --- ground plane z=0: constant normal -> constant Lambert shade.
-    t_g = f(-1.0) * ez * idz_
-    t_g = jnp.where((dz < f(-1e-6)) & (t_g > f(0.0)), t_g, big)
-    checker = jnp.mod(jnp.floor(ex + t_g * dx) + jnp.floor(ey + t_g * dy),
-                      f(2.0))
-    shade_up = f(0.45 + 0.55 * max(float(lz), 0.0))
-    g_lum = (f(0.35) + f(0.25) * checker) * shade_up
-
-    # --- cart: axis-aligned slab test, face-normal Lambert.
-    hx, hy, hz = (f(v) for v in cfg.cart_half_extents)
-    lox = (cx - hx - ex) * idx_
-    hix = (cx + hx - ex) * idx_
-    loy = (cy - hy - ey) * idy_
-    hiy = (cy + hy - ey) * idy_
-    loz = (cz - hz - ez) * idz_
-    hiz = (cz + hz - ez) * idz_
-    tnx = jnp.minimum(lox, hix)
-    txx = jnp.maximum(lox, hix)
-    tny = jnp.minimum(loy, hiy)
-    txy = jnp.maximum(loy, hiy)
-    tnz = jnp.minimum(loz, hiz)
-    txz = jnp.maximum(loz, hiz)
+    # --- cart: sign-folded slab test, face-normal Lambert. With
+    # q = (c - e) * (1/d) per axis, min/max over the ±h faces is just
+    # q ∓ h|1/d| (the half-width row ha is static), and the face normal
+    # dotted with the light (-sign(d)·l) is the static row nl: three
+    # broadcast muls + six adds replace six muls + six min/max, and the
+    # normal select picks between constants.
+    qx = (cx - ex) * idx_
+    qy = (cy - ey) * idy_
+    qz = (cz - ez) * idz_
+    tnx = qx - hax
+    txx = qx + hax
+    tny = qy - hay
+    txy = qy + hay
+    tnz = qz - haz
+    txz = qz + haz
     t_near = jnp.maximum(tnx, jnp.maximum(tny, tnz))
     t_far = jnp.minimum(txx, jnp.minimum(txy, txz))
     hit = (t_near <= t_far) & (t_far > f(0.0))
     t_c = jnp.where(hit, jnp.where(t_near > f(0.0), t_near, t_far), big)
-    nl_c = jnp.where(
-        tnx == t_near, -jnp.sign(dx) * lx,
-        jnp.where(tny == t_near, -jnp.sign(dy) * ly, -jnp.sign(dz) * lz))
+    nl_c = jnp.where(tnx == t_near, nlx,
+                     jnp.where(tny == t_near, nly, nlz))
     shade_c = f(0.45) + f(0.55) * jnp.maximum(nl_c, f(0.0))
 
     # --- pole: capsule pivot -> tip (|u| = 1, so |b-a|^2 = L^2 static).
+    # The length scale folds into the per-env axis components (uxl =
+    # L·ux is a (B, 1) column — free relative to broadcast work), and
+    # the h_along division becomes a multiply by the static 1/L.
     ll = f(p.pole_length)
     l2 = f(p.pole_length * p.pole_length)
+    inv_ll = f(1.0 / p.pole_length)
     r = f(cfg.pole_radius)
     ax = cx
     ay = cy
@@ -186,8 +240,11 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
     oax = ex - ax
     oay = ey - ay
     oaz = ez - az
-    bard = ll * (ux * dx + uy * dy + uz * dz)
-    baoa = ll * (ux * oax + uy * oay + uz * oaz)
+    uxl = ll * ux
+    uyl = ll * uy
+    uzl = ll * uz
+    bard = uxl * dx + uyl * dy + uzl * dz
+    baoa = uxl * oax + uyl * oay + uzl * oaz
     rdoa = dx * oax + dy * oay + dz * oaz
     oaoa = oax * oax + oay * oay + oaz * oaz
     a2 = l2 - bard * bard
@@ -201,7 +258,7 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
     cyl_ok = (h > f(0.0)) & (y > f(0.0)) & (y < l2) & (t_cyl > f(0.0))
     t_p = jnp.where(cyl_ok, t_cyl, big)
     for sx_, sy_, sz_ in ((oax, oay, oaz),
-                          (oax - ll * ux, oay - ll * uy, oaz - ll * uz)):
+                          (oax - uxl, oay - uyl, oaz - uzl)):
         bq = dx * sx_ + dy * sy_ + dz * sz_
         cq = sx_ * sx_ + sy_ * sy_ + sz_ * sz_ - r * r
         hq = bq * bq - cq
@@ -211,15 +268,18 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
     px_ = oax + t_p * dx
     py_ = oay + t_p * dy
     pz_ = oaz + t_p * dz
-    h_along = jnp.clip((px_ * ux + py_ * uy + pz_ * uz) / ll, f(0.0), one)
-    nx_ = px_ - h_along * ll * ux
-    ny_ = py_ - h_along * ll * uy
-    nz_ = pz_ - h_along * ll * uz
+    h_along = jnp.clip((px_ * ux + py_ * uy + pz_ * uz) * inv_ll,
+                       f(0.0), one)
+    nx_ = px_ - h_along * uxl
+    ny_ = py_ - h_along * uyl
+    nz_ = pz_ - h_along * uzl
     nl_p = ((nx_ * lx + ny_ * ly + nz_ * lz)
             * jax.lax.rsqrt(nx_ * nx_ + ny_ * ny_ + nz_ * nz_ + f(1e-12)))
     shade_p = f(0.45) + f(0.55) * jnp.maximum(nl_p, f(0.0))
 
-    # --- composite: closest-so-far (same order as render()).
+    # --- composite: closest-so-far over the precomputed background (bg
+    # is already ground-where-hit / sky-where-not, so no final sky
+    # select: the two body tests are the only per-env selects left).
     clip01 = lambda v: jnp.clip(v, f(0.0), one)  # noqa: E731
     if gray:
         # Luminance-only composite: material colors collapse to their
@@ -227,36 +287,25 @@ def shade_components(p: CartPoleParams, cfg: RenderConfig, eye,
         # one output plane instead of three.
         cl = f(sum(_CART_COL) / 3.0)
         pl_ = f(sum(_POLE_COL) / 3.0)
-        sl = f(sum(_SKY_COL) / 3.0)
-        t_hit = t_g
-        lum = g_lum
-        closer = t_c < t_hit
-        lum = jnp.where(closer, cl * shade_c, lum)
-        t_hit = jnp.minimum(t_c, t_hit)
+        (lum0,) = bg
+        closer = t_c < t_g
+        lum = jnp.where(closer, cl * shade_c, lum0)
+        t_hit = jnp.minimum(t_c, t_g)
         closer = t_p < t_hit
         lum = jnp.where(closer, pl_ * shade_p, lum)
-        t_hit = jnp.minimum(t_p, t_hit)
-        lum = jnp.where(t_hit >= f(_BIG * 0.5), sl, lum)
         return (clip01(lum),)
     ccr, ccg, ccb = (f(v) for v in _CART_COL)
     pcr, pcg, pcb = (f(v) for v in _POLE_COL)
-    skr, skg, skb = (f(v) for v in _SKY_COL)
-    t_hit = t_g
-    cr, cg_, cb = g_lum, g_lum, g_lum
-    closer = t_c < t_hit
-    cr = jnp.where(closer, ccr * shade_c, cr)
-    cg_ = jnp.where(closer, ccg * shade_c, cg_)
-    cb = jnp.where(closer, ccb * shade_c, cb)
-    t_hit = jnp.minimum(t_c, t_hit)
+    bgr, bgg, bgb = bg
+    closer = t_c < t_g
+    cr = jnp.where(closer, ccr * shade_c, bgr)
+    cg_ = jnp.where(closer, ccg * shade_c, bgg)
+    cb = jnp.where(closer, ccb * shade_c, bgb)
+    t_hit = jnp.minimum(t_c, t_g)
     closer = t_p < t_hit
     cr = jnp.where(closer, pcr * shade_p, cr)
     cg_ = jnp.where(closer, pcg * shade_p, cg_)
     cb = jnp.where(closer, pcb * shade_p, cb)
-    t_hit = jnp.minimum(t_p, t_hit)
-    sky = t_hit >= f(_BIG * 0.5)
-    cr = jnp.where(sky, skr, cr)
-    cg_ = jnp.where(sky, skg, cg_)
-    cb = jnp.where(sky, skb, cb)
     return clip01(cr), clip01(cg_), clip01(cb)
 
 
@@ -272,13 +321,15 @@ def render(p: CartPoleParams, phys: PhysState, cfg: RenderConfig,
     dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     eye, dcomp, icomp = ray_constants_np(cam, cfg.width, cfg.height)
     rays = [jnp.asarray(c, dt) for c in dcomp + icomp]  # (1, HW) each
+    rows_np, _ = static_rows_np(cam, cfg, gray)
+    static = tuple(jnp.asarray(c, dt) for c in rows_np)
 
     b = phys.pos.shape[0]
     col = lambda v: v.astype(dt)[:, None]  # noqa: E731 - (B, 1) column
     sx, sy = phys.s[..., 0], phys.s[..., 1]
     w = pole_w(p, sx, sy)
     chans = shade_components(
-        p, cfg, eye, *rays,
+        p, cfg, eye, *rays, static,
         col(phys.pos[..., 0]), col(phys.pos[..., 1]),
         col(phys.pos[..., 2]), col(sx), col(sy), col(w), gray=gray)
     img = jnp.stack(chans, axis=-1).reshape(

@@ -39,32 +39,21 @@ def renderable(cfg: RenderConfig, num_envs: int) -> bool:
 
 
 def _render_cam_kernel(p: CartPoleParams, cfg: RenderConfig, eye, dt,
-                       cx_ref, cy_ref, cz_ref, ux_ref, uy_ref, uz_ref,
-                       dx_ref, dy_ref, dz_ref, ix_ref, iy_ref, iz_ref,
-                       r_ref, g_ref, b_ref):
-    rays = [ref[:].astype(dt) for ref in
-            (dx_ref, dy_ref, dz_ref, ix_ref, iy_ref, iz_ref)]
-    cols = [ref[:].astype(dt) for ref in
-            (cx_ref, cy_ref, cz_ref, ux_ref, uy_ref, uz_ref)]
-    r, g, b = _px.shade_components(p, cfg, eye, *rays, *cols)
-    r_ref[:] = r.astype(jnp.float32)
-    g_ref[:] = g.astype(jnp.float32)
-    b_ref[:] = b.astype(jnp.float32)
-
-
-def _render_cam_kernel_gray(p: CartPoleParams, cfg: RenderConfig, eye, dt,
-                            cx_ref, cy_ref, cz_ref, ux_ref, uy_ref, uz_ref,
-                            dx_ref, dy_ref, dz_ref, ix_ref, iy_ref, iz_ref,
-                            lum_ref):
-    """Grayscale fast path: luminance composited in-kernel (one output
-    plane, one select chain — shade_components(gray=True)), cutting the
-    kernel's HBM writes 3x for the grayscale learning config."""
-    rays = [ref[:].astype(dt) for ref in
-            (dx_ref, dy_ref, dz_ref, ix_ref, iy_ref, iz_ref)]
-    cols = [ref[:].astype(dt) for ref in
-            (cx_ref, cy_ref, cz_ref, ux_ref, uy_ref, uz_ref)]
-    (lum,) = _px.shade_components(p, cfg, eye, *rays, *cols, gray=True)
-    lum_ref[:] = lum.astype(jnp.float32)
+                       gray, *refs):
+    """One camera, one env block: inputs are 6 env-state columns, 6 ray
+    rows and the static precomputed rows (env/pixels.py::static_rows_np
+    — ground/sky, slab half-widths, face-normal Lambert), outputs the
+    composited channel planes (1 luminance plane when `gray` — a third
+    of the HBM writes of RGB)."""
+    n_out = 1 if gray else 3
+    ins, outs = refs[:len(refs) - n_out], refs[len(refs) - n_out:]
+    cols = [ref[:].astype(dt) for ref in ins[:6]]
+    rays = [ref[:].astype(dt) for ref in ins[6:12]]
+    static = tuple(ref[:].astype(dt) for ref in ins[12:])
+    chans = _px.shade_components(p, cfg, eye, *rays, static, *cols,
+                                 gray=gray)
+    for out, chan in zip(outs, chans):
+        out[:] = chan.astype(jnp.float32)
 
 
 def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
@@ -89,8 +78,8 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
 
     gray = cfg.grayscale
     nch = 1 if gray else 3
-    kern = _render_cam_kernel_gray if gray else _render_cam_kernel
-    kernel = functools.partial(kern, p, cfg, eye, dt)
+    rows_np, _ = _px.static_rows_np(cam, cfg, gray)
+    kernel = functools.partial(_render_cam_kernel, p, cfg, eye, dt, gray)
     env_col = pl.BlockSpec((be, 1), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     ray_row = pl.BlockSpec((1, npx), lambda i: (0, 0),
@@ -101,7 +90,7 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
         kernel,
         grid=(b // be,),
         out_shape=(jax.ShapeDtypeStruct((b, npx), jnp.float32),) * nch,
-        in_specs=[env_col] * 6 + [ray_row] * 6,
+        in_specs=[env_col] * 6 + [ray_row] * (6 + len(rows_np)),
         out_specs=(out_rows,) * nch,
         interpret=interpret,
     )
@@ -113,6 +102,7 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
                 sx, sy, w]
         args = [c.astype(jnp.float32)[:, None] for c in cols]
         args += [jnp.asarray(c) for c in dcomp + icomp]
+        args += [jnp.asarray(c) for c in rows_np]
         chans = call(*args)
         return jnp.stack(chans, axis=-1).reshape(
             b, cfg.height, cfg.width, nch)
