@@ -125,6 +125,34 @@ def test_env_pixels_uint8_obs_mode():
         np.asarray(o8).astype(np.float32) / 255.0, atol=1e-7)
 
 
+def test_auto_reset_obs_is_constant_reset_frame():
+    """The fresh-episode pose is deterministic (reset randomness enters
+    through velocities only — env/compute.py::reset_components), so a
+    done env's post-reset observation must equal the reset() image
+    exactly, while live envs keep their (different) terminal frames.
+    Guards the batch-1 constant-frame broadcast in CartPole3D.step."""
+    cfg8 = RenderConfig(width=32, height=32, grayscale=True,
+                        obs_uint8=True)
+    env = CartPole3D(P, num_envs=8, obs_mode="pixels", render_config=cfg8)
+    state, obs0 = jax.jit(env.reset)(0)
+    obs0 = np.asarray(obs0)
+    assert (obs0 == obs0[0]).all(), "reset obs differs across envs"
+    step = jax.jit(env.step)
+    action = jnp.zeros((8,), jnp.int32)  # noop: the pushed pole falls
+    for _ in range(60):
+        state, obs, reward, done, info = step(state, action)
+        d = np.asarray(done)
+        if d.any():
+            break
+    assert d.any(), "no env terminated in 60 steps"
+    o = np.asarray(obs)
+    for i in np.nonzero(d)[0]:
+        np.testing.assert_array_equal(o[i], obs0[0])
+    live = np.nonzero(~d)[0]
+    assert any(not np.array_equal(o[i], obs0[0]) for i in live), \
+        "live envs should observe mid-episode frames, not the reset image"
+
+
 def test_render_kernel_parity_interpret():
     """The Pallas raycast kernel is the same shade_components math as
     the XLA path — images must match to f32 fusion tolerance
