@@ -163,16 +163,35 @@ def main(argv=None) -> int:
         print(json.dumps({k: float(np.asarray(v))
                           for k, v in stats.items()}))
         if run.eval_render:
-            # Render env 0 acting under the trained greedy policy.
+            # Render env 0 acting under the trained greedy policy. The
+            # policy steps on its own observation config; the DUMPED
+            # frames are always RGB at a readable size (a grayscale
+            # 48x48 luminance plane — the pixel-learning obs — is
+            # visually ambiguous: cart 0.43 and pole 0.52 blend into
+            # the 0.35-0.6 checkerboard).
+            import dataclasses as _dc
+
+            from .env.pixels import RenderConfig, render_all_cameras
             from .viz import save_frame
             policy = agent.greedy_policy(state)
             est, obs = jax.jit(env.reset)(run.seed)
             step_fn = jax.jit(env.step)
-            render_fn = jax.jit(env.render)
+            base = (env.render_config if run.obs_mode == "pixels"
+                    else RenderConfig())
+            demo_cfg = _dc.replace(
+                base, width=max(base.width, 96),
+                height=max(base.height, 96),
+                grayscale=False, obs_uint8=False, dtype="float32")
+            # Render (and transfer) ONLY env 0 — rendering the full
+            # batch to dump one env ships B x H x W x C floats through
+            # the device->host link per frame.
+            render_fn = jax.jit(lambda ph: render_all_cameras(
+                env.params, jax.tree.map(lambda a: a[:1], ph),
+                demo_cfg)[0, ..., :3])
             os.makedirs(run.eval_render, exist_ok=True)
             n_frames = min(run.eval_steps, 120)
             for t in range(n_frames):
-                img = np.asarray(render_fn(est.phys))[0, ..., :3]
+                img = np.asarray(render_fn(est.phys))
                 save_frame(os.path.join(run.eval_render, f"step{t:04d}"),
                            img)
                 est, obs, _, _, _ = step_fn(est, policy(obs))
