@@ -38,6 +38,14 @@ class NAFConfig:
     updates_per_step: int = 4
     replay_capacity_per_env: int = 1024
     noise_sigma: float = 0.2
+    noise_sigma_min: float = 0.02    # floor after decay
+    noise_sigma_decay_env_steps: int = 20000  # linear horizon (0 = constant)
+    # NAF's advantage head is an unconstrained Cholesky factor L: its
+    # entries (and so the Q curvature) can grow without bound, which
+    # shows up as late-training divergence (done_frac spiking after an
+    # initially healthy run). Global-norm gradient clipping bounds the
+    # update magnitude through that head. 0 disables.
+    max_grad_norm: float = 10.0
     warmup_env_steps: int = 16
     dtype: str = "float32"
     sample: str = "column"           # replay sampling: column (fast) | uniform
@@ -74,7 +82,10 @@ class NAF:
             num_envs=env.num_envs,
             capacity_per_env=config.replay_capacity_per_env,
             obs_dim=env.obs_size, action_dim=env.action_dim, discrete=False)
-        self.tx = optax.adam(config.lr)
+        self.tx = (optax.chain(optax.clip_by_global_norm(
+                       config.max_grad_norm), optax.adam(config.lr))
+                   if config.max_grad_norm > 0.0
+                   else optax.adam(config.lr))
 
     def init(self, key) -> NAFState:
         k_net, k_env, k_run = jax.random.split(as_key(key), 3)
@@ -88,16 +99,28 @@ class NAF:
             env_state=env_state, obs=obs, rng=k_run,
             env_steps=jnp.int32(0))
 
-    def act(self, params, obs, env_seed=None, t=None):
+    def act(self, params, obs, env_seed=None, t=None, sigma=None):
         """mu(s), plus counter-PRNG Gaussian exploration when
         (env_seed, t) are given — sharding-independent."""
         _, mu = self.net.apply(params, obs)
         if env_seed is None:
             return mu
+        s = self.cfg.noise_sigma if sigma is None else sigma
         eps = jnp.stack([normal(env_seed, t, TAG_NAF_X),
                          normal(env_seed, t, TAG_NAF_Y)],
-                        axis=-1) * self.cfg.noise_sigma
+                        axis=-1) * s
         return jnp.clip(mu + eps, -1.0, 1.0)
+
+    def _sigma(self, env_steps):
+        """Linearly decayed exploration scale (same schedule shape as
+        DDPG._sigma) — evaluated once per train_step from env_steps, so
+        it is a pure function of global progress, not sharding layout."""
+        c = self.cfg
+        if c.noise_sigma_decay_env_steps <= 0:
+            return jnp.float32(c.noise_sigma)
+        frac = jnp.clip(env_steps.astype(jnp.float32)
+                        / c.noise_sigma_decay_env_steps, 0.0, 1.0)
+        return c.noise_sigma + frac * (c.noise_sigma_min - c.noise_sigma)
 
     def greedy_policy(self, st: NAFState):
         """mu policy fn(obs) -> action (no exploration)."""
@@ -126,17 +149,18 @@ class NAF:
         c = self.cfg
         rng = st.rng
         env_seed = st.env_state.env_seed
+        sigma = self._sigma(st.env_steps)
 
         if fused:
             from ..ops.policy_rollout import naf_policy_rollout
             run = naf_policy_rollout(self.env, tuple(c.hidden),
                                      c.rollout_steps)
             env_state, obs, traj = run(st.env_state, st.obs, st.params,
-                                       st.env_steps,
-                                       jnp.float32(c.noise_sigma))
+                                       st.env_steps, sigma)
         else:
             env_state, obs, traj = run_rollout(
-                self.env, lambda o, t: self.act(st.params, o, env_seed, t),
+                self.env,
+                lambda o, t: self.act(st.params, o, env_seed, t, sigma),
                 st.env_state, st.obs,
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
