@@ -136,11 +136,14 @@ def bench_ddpg(num_envs: int, num_steps: int):
     updates = int(os.environ.get("BENCH_DDPG_UPDATES", "8"))
     batch = int(os.environ.get("BENCH_DDPG_BATCH", "8192"))
     dtype = os.environ.get("BENCH_DDPG_DTYPE", "float32")
+    # "updated" (default semantics) | "pre" (actor grad through the
+    # pre-update critic: decouples the two backward passes per update).
+    agc = os.environ.get("BENCH_DDPG_ACTOR_GRAD", "updated")
     env = CartPole3D(continuous_params(), num_envs=num_envs)
     agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
                                  updates_per_step=updates,
                                  batch_size=batch, warmup_env_steps=0,
-                                 dtype=dtype))
+                                 dtype=dtype, actor_grad_critic=agc))
     st = agent.init(0)
     step = agent.make_train_step()  # auto-selects the fused kernel on TPU
     st, m = step(st)
@@ -163,6 +166,7 @@ def bench_ddpg(num_envs: int, num_steps: int):
     }))
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
                       "batch_size": batch, "dtype": dtype,
+                      "actor_grad_critic": agc,
                       "n_calls": n_calls, "best_s": round(best, 3),
                       "fused": agent.fusable()}), file=sys.stderr)
 

@@ -53,20 +53,65 @@ def run_rollout(env, act_fn, env_state, obs, keys):
 
 
 def gated_update_scan(st, upd_body, num_updates: int, ready,
-                     zero_metrics):
+                     zero_metrics, presample=None):
     """Warmup-gated learner phase: split st.rng, scan `upd_body(state,
-    key)` over `num_updates` keys and average its metrics — or skip
+    x)` over `num_updates` inputs and average its metrics — or skip
     entirely (returning `zero_metrics`) until `ready` (replay warmup).
-    st must carry a `rng` field."""
+    st must carry a `rng` field.
+
+    Without `presample`, x is a PRNG key and the body samples its own
+    minibatch. With `presample(s, keys) -> stacked batches`, all
+    `num_updates` minibatches are gathered as ONE vectorized op before
+    the scan and x is a batch: the K sequential update iterations are
+    serial-latency-bound on TPU (~30 small dependent ops each,
+    BASELINE.md round-2 decomposition), and hoisting the replay
+    sampling off that critical path is free parallelism — the batches
+    are bitwise what the in-scan sampling would have drawn (jax.random
+    is vmap-invariant, and the replay contents don't change during the
+    update phase)."""
 
     def do(s):
         rng, k = jax.random.split(s.rng)
-        s, metrics = jax.lax.scan(
-            upd_body, s._replace(rng=rng),
-            jax.random.split(k, num_updates))
+        s = s._replace(rng=rng)
+        keys = jax.random.split(k, num_updates)
+        xs = keys if presample is None else presample(s, keys)
+        s, metrics = jax.lax.scan(upd_body, s, xs)
         return s, jax.tree.map(jnp.mean, metrics)
 
     return jax.lax.cond(ready, do, lambda s: (s, zero_metrics), st)
+
+
+def replay_sampler(replay, sample_mode: str, batch_size: int,
+                   num_shards: int, dist_axis):
+    """Per-key minibatch draw fn(replay_state, key) -> batch, with the
+    per-shard decorrelation fold applied under shard_map."""
+    sample_fn = (replay.sample_columns if sample_mode == "column"
+                 else replay.sample)
+    bs = local_batch(batch_size, num_shards)
+
+    def one(rs, key):
+        if dist_axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(dist_axis))
+        return sample_fn(rs, key, bs)
+
+    return one
+
+
+def replay_presample(replay, sample_mode: str, batch_size: int,
+                     num_shards: int, dist_axis):
+    """Build the `presample` hook for gated_update_scan over a
+    ReplayBuffer: vmap the per-key minibatch draw over the K update
+    keys (same per-shard decorrelation fold as the in-body sampling).
+
+    Returns None for quantized (pixel) buffers — presampling would
+    materialize K decoded float32 frame batches at once, and the pixel
+    learner is renderer-bound anyway; the update body then receives the
+    raw key and samples inside the scan as before."""
+    if replay.quantize_obs:
+        return None
+    one = replay_sampler(replay, sample_mode, batch_size, num_shards,
+                         dist_axis)
+    return lambda s, keys: jax.vmap(one, in_axes=(None, 0))(s.replay, keys)
 
 
 def episode_length_hist(done, cap: int):

@@ -38,7 +38,7 @@ from ..env import CartPole3D
 from ..models import ActorMLP, CriticMLP, VisualActor, VisualCritic, polyak
 from ..utils.prng import normal
 from .common import (TAG_OU_X, TAG_OU_Y, as_key, gated_update_scan,
-                     local_batch)
+                     local_batch, replay_presample)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -63,6 +63,14 @@ class DDPGConfig:
     warmup_env_steps: int = 16       # slots to fill before learning starts
     dtype: str = "float32"           # network compute dtype ("bfloat16" on TPU)
     sample: str = "column"           # replay sampling: column (fast) | uniform
+    # Which critic the actor's gradient flows through: "updated" (the
+    # critic AFTER this iteration's TD step — the round-1/2 semantics)
+    # or "pre" (the critic the iteration started with). "pre" makes the
+    # actor and critic backward passes data-independent, so XLA overlaps
+    # them inside the serial-latency-bound update chain; both variants
+    # are standard DDPG (the one-Adam-step critic difference is far
+    # inside the TD error's noise floor).
+    actor_grad_critic: str = "updated"
 
 
 class DDPGState(NamedTuple):
@@ -187,15 +195,20 @@ class DDPG:
         a = self.actor_net.apply(actor, obs)
         return -jnp.mean(self.critic_net.apply(critic, obs, a))
 
-    def _update_once(self, st: DDPGState, key) -> tuple[DDPGState, dict]:
-        c = self.cfg
+    def _sample(self, replay, key):
+        """One learner minibatch (chip-local under shard_map: the key is
+        decorrelated by axis_index, and the gradient pmean is then the
+        ONLY cross-chip traffic of the whole update)."""
         if self.dist_axis is not None:
-            # Chip-local minibatch (decorrelated key); the pmean below is
-            # then the ONLY cross-chip traffic of the whole update.
             key = jax.random.fold_in(key, jax.lax.axis_index(self.dist_axis))
         sample_fn = (self.replay.sample_columns if self.cfg.sample == "column"
                      else self.replay.sample)
-        batch = sample_fn(st.replay, key, self.local_batch_size)
+        return sample_fn(replay, key, self.local_batch_size)
+
+    def _update_once(self, st: DDPGState, batch) -> tuple[DDPGState, dict]:
+        c = self.cfg
+        if not isinstance(batch, tuple):   # presample off: batch is a key
+            batch = self._sample(st.replay, batch)
         closs, cgrad = jax.value_and_grad(self._critic_loss)(
             st.critic, st.actor_target, st.critic_target, batch)
         if self.dist_axis is not None:
@@ -203,8 +216,9 @@ class DDPG:
         cupd, copt = self.critic_tx.update(cgrad, st.critic_opt, st.critic)
         critic = optax.apply_updates(st.critic, cupd)
 
+        actor_critic = st.critic if c.actor_grad_critic == "pre" else critic
         aloss, agrad = jax.value_and_grad(self._actor_loss)(
-            st.actor, critic, batch[0])
+            st.actor, actor_critic, batch[0])
         if self.dist_axis is not None:
             aloss, agrad = jax.lax.pmean((aloss, agrad), self.dist_axis)
         aupd, aopt = self.actor_tx.update(agrad, st.actor_opt, st.actor)
@@ -274,7 +288,9 @@ class DDPG:
             st, self._update_once, c.updates_per_step,
             env_steps >= c.warmup_env_steps,
             {"critic_loss": jnp.float32(0.0),
-             "actor_loss": jnp.float32(0.0)})
+             "actor_loss": jnp.float32(0.0)},
+            presample=replay_presample(self.replay, c.sample, c.batch_size,
+                                       self.num_shards, self.dist_axis))
 
         metrics = dict(losses)
         if capture:

@@ -24,7 +24,7 @@ from ..env import CartPole3D
 from ..models import QNetMLP, VisualQNet, polyak
 from ..utils.prng import hash_words, uniform
 from .common import (TAG_EPS_ACT, TAG_EPS_GATE, as_key, gated_update_scan,
-                     local_batch, run_rollout)
+                     replay_presample, replay_sampler, run_rollout)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -165,15 +165,12 @@ class DQN:
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
                          rng=rng, env_steps=env_steps)
+        sampler = replay_sampler(self.replay, c.sample, c.batch_size,
+                                 self.num_shards, self.dist_axis)
 
-        def upd_body(s, key):
-            if self.dist_axis is not None:
-                key = jax.random.fold_in(
-                    key, jax.lax.axis_index(self.dist_axis))
-            sample_fn = (self.replay.sample_columns
-                         if c.sample == "column" else self.replay.sample)
-            batch = sample_fn(
-                s.replay, key, local_batch(c.batch_size, self.num_shards))
+        def upd_body(s, batch):
+            if not isinstance(batch, tuple):   # presample off: batch is
+                batch = sampler(s.replay, batch)  # a PRNG key (pixels)
             loss, grad = jax.value_and_grad(self._loss)(
                 s.q, s.q_target, batch)
             if self.dist_axis is not None:
@@ -186,7 +183,9 @@ class DQN:
 
         st, loss = gated_update_scan(
             st, upd_body, c.updates_per_step,
-            env_steps >= c.warmup_env_steps, jnp.float32(0.0))
+            env_steps >= c.warmup_env_steps, jnp.float32(0.0),
+            presample=replay_presample(self.replay, c.sample, c.batch_size,
+                                       self.num_shards, self.dist_axis))
 
         metrics_extra = {"traj": traj} if capture else {}
         reward_mean = jnp.mean(traj[2])

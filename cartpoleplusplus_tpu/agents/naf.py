@@ -23,7 +23,7 @@ from ..env import CartPole3D
 from ..models import NafNet, polyak
 from ..utils.prng import normal
 from .common import (TAG_NAF_X, TAG_NAF_Y, as_key, gated_update_scan,
-                     local_batch, run_rollout)
+                     replay_presample, run_rollout)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -168,14 +168,7 @@ class NAF:
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
                          rng=rng, env_steps=env_steps)
 
-        def upd_body(s, key):
-            if self.dist_axis is not None:
-                key = jax.random.fold_in(
-                    key, jax.lax.axis_index(self.dist_axis))
-            sample_fn = (self.replay.sample_columns
-                         if c.sample == "column" else self.replay.sample)
-            batch = sample_fn(
-                s.replay, key, local_batch(c.batch_size, self.num_shards))
+        def upd_body(s, batch):
             loss, grad = jax.value_and_grad(self._loss)(
                 s.params, s.target, batch)
             if self.dist_axis is not None:
@@ -188,7 +181,9 @@ class NAF:
 
         st, loss = gated_update_scan(
             st, upd_body, c.updates_per_step,
-            env_steps >= c.warmup_env_steps, jnp.float32(0.0))
+            env_steps >= c.warmup_env_steps, jnp.float32(0.0),
+            presample=replay_presample(self.replay, c.sample, c.batch_size,
+                                       self.num_shards, self.dist_axis))
 
         metrics_extra = {"traj": traj} if capture else {}
         reward_mean = jnp.mean(traj[2])

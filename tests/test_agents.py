@@ -316,3 +316,51 @@ def test_ddpg_bfloat16_compute():
     _check_finite(metrics)
     a = agent.act(st.actor, st.obs)
     assert a.dtype == jnp.float32 and np.all(np.abs(np.asarray(a)) <= 1.0)
+
+
+def test_presample_matches_sequential_sampling():
+    """The learner's hoisted K-minibatch presample (agents/common.py::
+    replay_presample, one vmapped gather before the update scan) draws
+    bitwise the batches that per-key sampling inside the scan would
+    have drawn — the latency optimization must not change what the
+    learner trains on."""
+    from cartpoleplusplus_tpu.agents.common import (replay_presample,
+                                                    replay_sampler)
+
+    env = CartPole3D(continuous_params(), num_envs=16)
+    agent = DDPG(env, DDPGConfig(hidden=(32,), rollout_steps=8,
+                                 batch_size=24,  # not a multiple of B:
+                                 replay_capacity_per_env=32,  # trim path
+                                 warmup_env_steps=0))
+    st = agent.init(0)
+    st, _ = agent.train_step(st)
+    keys = jax.random.split(jax.random.PRNGKey(11), 5)
+    for mode in ("column", "uniform"):
+        pre = replay_presample(agent.replay, mode, 24, 1, None)
+        one = replay_sampler(agent.replay, mode, 24, 1, None)
+        stacked = pre(st, keys)
+        for i in range(len(keys)):
+            seq = one(st.replay, keys[i])
+            got = jax.tree.map(lambda x: x[i], stacked)
+            for a, b in zip(seq, got):
+                assert a.shape == b.shape and bool((a == b).all()), mode
+
+
+def test_ddpg_actor_grad_critic_pre_variant():
+    """actor_grad_critic="pre" (actor gradient through the pre-update
+    critic, decoupling the two backward passes) trains finitely and
+    moves the actor."""
+    env = CartPole3D(continuous_params(), num_envs=8)
+    agent = DDPG(env, DDPGConfig(hidden=(32,), rollout_steps=4,
+                                 updates_per_step=2, batch_size=16,
+                                 replay_capacity_per_env=16,
+                                 warmup_env_steps=0,
+                                 actor_grad_critic="pre"))
+    st = agent.init(0)
+    a0 = jax.tree.leaves(st.actor)[0].copy()
+    step = agent.make_train_step()
+    for _ in range(3):
+        st, metrics = step(st)
+    _check_finite(metrics)
+    assert not np.allclose(np.asarray(jax.tree.leaves(st.actor)[0]),
+                           np.asarray(a0))
