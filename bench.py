@@ -139,11 +139,15 @@ def bench_ddpg(num_envs: int, num_steps: int):
     # "updated" (default semantics) | "pre" (actor grad through the
     # pre-update critic: decouples the two backward passes per update).
     agc = os.environ.get("BENCH_DDPG_ACTOR_GRAD", "updated")
+    # "per_update" (default) | "per_step" (one compounded polyak outside
+    # the update scan).
+    pol = os.environ.get("BENCH_DDPG_POLYAK", "per_update")
     env = CartPole3D(continuous_params(), num_envs=num_envs)
     agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
                                  updates_per_step=updates,
                                  batch_size=batch, warmup_env_steps=0,
-                                 dtype=dtype, actor_grad_critic=agc))
+                                 dtype=dtype, actor_grad_critic=agc,
+                                 polyak_cadence=pol))
     st = agent.init(0)
     step = agent.make_train_step()  # auto-selects the fused kernel on TPU
     st, m = step(st)
@@ -166,7 +170,7 @@ def bench_ddpg(num_envs: int, num_steps: int):
     }))
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
                       "batch_size": batch, "dtype": dtype,
-                      "actor_grad_critic": agc,
+                      "actor_grad_critic": agc, "polyak_cadence": pol,
                       "n_calls": n_calls, "best_s": round(best, 3),
                       "fused": agent.fusable()}), file=sys.stderr)
 

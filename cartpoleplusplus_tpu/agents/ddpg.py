@@ -71,6 +71,13 @@ class DDPGConfig:
     # are standard DDPG (the one-Adam-step critic difference is far
     # inside the TD error's noise floor).
     actor_grad_critic: str = "updated"
+    # Polyak cadence: "per_update" (round-1/2 semantics: targets track
+    # every gradient step) or "per_step" (targets frozen across the K
+    # updates of one train_step, then moved once with the compounded
+    # rate 1-(1-tau)^K — the same per-train_step pull, ~2*K fewer tiny
+    # tree ops inside the serial update chain; equivalent to a target
+    # update period of K gradient steps, standard in DQN-family code).
+    polyak_cadence: str = "per_update"
 
 
 class DDPGState(NamedTuple):
@@ -224,11 +231,12 @@ class DDPG:
         aupd, aopt = self.actor_tx.update(agrad, st.actor_opt, st.actor)
         actor = optax.apply_updates(st.actor, aupd)
 
-        st = st._replace(
-            actor=actor, critic=critic,
-            actor_opt=aopt, critic_opt=copt,
-            actor_target=polyak(st.actor_target, actor, c.tau),
-            critic_target=polyak(st.critic_target, critic, c.tau))
+        st = st._replace(actor=actor, critic=critic,
+                         actor_opt=aopt, critic_opt=copt)
+        if c.polyak_cadence == "per_update":
+            st = st._replace(
+                actor_target=polyak(st.actor_target, actor, c.tau),
+                critic_target=polyak(st.critic_target, critic, c.tau))
         return st, {"critic_loss": closs, "actor_loss": aloss}
 
     def greedy_policy(self, st: DDPGState):
@@ -284,13 +292,23 @@ class DDPG:
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
                          noise=noise, rng=rng, env_steps=env_steps)
 
+        ready = env_steps >= c.warmup_env_steps
         st, losses = gated_update_scan(
-            st, self._update_once, c.updates_per_step,
-            env_steps >= c.warmup_env_steps,
+            st, self._update_once, c.updates_per_step, ready,
             {"critic_loss": jnp.float32(0.0),
              "actor_loss": jnp.float32(0.0)},
             presample=replay_presample(self.replay, c.sample, c.batch_size,
                                        self.num_shards, self.dist_axis))
+        if c.polyak_cadence == "per_step":
+            # Compounded pull: K per-update polyaks at rate tau move the
+            # target by 1-(1-tau)^K toward a FIXED online net; applying
+            # that once is the same total pull, outside the update scan.
+            tau_eff = jnp.where(ready,
+                                1.0 - (1.0 - c.tau) ** c.updates_per_step,
+                                0.0)
+            st = st._replace(
+                actor_target=polyak(st.actor_target, st.actor, tau_eff),
+                critic_target=polyak(st.critic_target, st.critic, tau_eff))
 
         metrics = dict(losses)
         if capture:

@@ -364,3 +364,37 @@ def test_ddpg_actor_grad_critic_pre_variant():
     _check_finite(metrics)
     assert not np.allclose(np.asarray(jax.tree.leaves(st.actor)[0]),
                            np.asarray(a0))
+
+
+def test_ddpg_polyak_per_step_cadence():
+    """polyak_cadence="per_step" applies one compounded target pull
+    1-(1-tau)^K outside the update scan; the compounded rate is exactly
+    K successive per-update polyaks toward a fixed online net, and
+    training under the cadence stays finite and moves the targets."""
+    from cartpoleplusplus_tpu.models import polyak
+
+    # Identity on a fixed online net.
+    tgt = {"w": jnp.ones((4,)) * 2.0}
+    online = {"w": jnp.full((4,), 10.0)}
+    tau, k = 0.01, 16
+    seq = tgt
+    for _ in range(k):
+        seq = polyak(seq, online, tau)
+    once = polyak(tgt, online, 1.0 - (1.0 - tau) ** k)
+    np.testing.assert_allclose(np.asarray(seq["w"]), np.asarray(once["w"]),
+                               rtol=1e-6)
+
+    env = CartPole3D(continuous_params(), num_envs=8)
+    agent = DDPG(env, DDPGConfig(hidden=(32,), rollout_steps=4,
+                                 updates_per_step=3, batch_size=16,
+                                 replay_capacity_per_env=16,
+                                 warmup_env_steps=0,
+                                 polyak_cadence="per_step"))
+    st = agent.init(0)
+    t0 = jax.tree.leaves(st.critic_target)[0].copy()
+    step = agent.make_train_step()
+    for _ in range(3):
+        st, metrics = step(st)
+    _check_finite(metrics)
+    assert not np.allclose(np.asarray(jax.tree.leaves(st.critic_target)[0]),
+                           np.asarray(t0))
