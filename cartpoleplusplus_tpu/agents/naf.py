@@ -29,17 +29,21 @@ from .replay import ReplayBuffer, ReplayState
 
 @dataclasses.dataclass(frozen=True)
 class NAFConfig:
+    # Defaults are the round-2 TPU sweep winner (BASELINE.md learning
+    # table): 40k per-env steps at 1024 envs reaches eval mean episode
+    # length 128.6/145.1 (seeds 0/1) vs ~35 for the round-1 settings
+    # (tau 0.005, 4 updates, constant sigma).
     hidden: tuple = (256, 256)
     lr: float = 5e-4
     gamma: float = 0.99
-    tau: float = 0.005
+    tau: float = 0.01
     batch_size: int = 256
     rollout_steps: int = 8
-    updates_per_step: int = 4
+    updates_per_step: int = 8
     replay_capacity_per_env: int = 1024
     noise_sigma: float = 0.2
     noise_sigma_min: float = 0.02    # floor after decay
-    noise_sigma_decay_env_steps: int = 20000  # linear horizon (0 = constant)
+    noise_sigma_decay_env_steps: int = 30000  # linear horizon (0 = constant)
     # NAF's advantage head is an unconstrained Cholesky factor L: its
     # entries (and so the Q curvature) can grow without bound, which
     # shows up as late-training divergence (done_frac spiking after an
