@@ -30,17 +30,23 @@ from .replay import ReplayBuffer, ReplayState
 
 @dataclasses.dataclass(frozen=True)
 class DQNConfig:
+    # Defaults are the round-2 TPU sweep winner (BASELINE.md learning
+    # table): 40k per-env steps at 1024 envs reaches eval mean episode
+    # length 199.98/200 — the greedy policy balances to the cap. The
+    # lever was the learning rate: 5e-4 plateaued at ~25, 2e-4 at ~39,
+    # 1e-4 at ~159, 5e-5 solves (the TD target through the soft target
+    # net tolerates far less optimizer noise than the sweep's start).
     hidden: tuple = (256, 256)
-    lr: float = 5e-4
+    lr: float = 5e-5
     gamma: float = 0.99
     tau: float = 0.01
     batch_size: int = 256
     rollout_steps: int = 8
-    updates_per_step: int = 4
+    updates_per_step: int = 8
     replay_capacity_per_env: int = 1024
     eps_start: float = 1.0
-    eps_end: float = 0.05
-    eps_decay_env_steps: int = 5000   # linear decay horizon (per-env steps)
+    eps_end: float = 0.02
+    eps_decay_env_steps: int = 10000  # linear decay horizon (per-env steps)
     warmup_env_steps: int = 16
     double_dqn: bool = True
     dtype: str = "float32"

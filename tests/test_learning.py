@@ -36,10 +36,13 @@ def test_dqn_learns_discrete():
     # column is 1024 iid chains) but marginal here, and this test's job
     # is catching loss-sign/target regressions, not small-batch sampler
     # statistics. Column sampling is covered by the DDPG learning test.
+    # lr pinned fast: the production default (5e-5, BASELINE.md winner)
+    # is tuned for 40k-step runs; this 2k-step regression canary needs
+    # the quick-and-dirty rate.
     agent = DQN(env, DQNConfig(hidden=(64, 64), rollout_steps=16,
                                updates_per_step=8, batch_size=128,
-                               replay_capacity_per_env=512,
-                               eps_decay_env_steps=1200,
+                               replay_capacity_per_env=512, lr=5e-4,
+                               eps_decay_env_steps=1200, eps_end=0.05,
                                warmup_env_steps=32, sample="uniform"))
     st = agent.init(0)
     step = agent.make_train_step()
