@@ -19,25 +19,35 @@ here are exactly agents/ddpg.py::_update_once with presampled batches:
 per update k — critic TD step (Adam), actor step through the UPDATED
 critic (Adam), Polyak targets — K times sequentially.
 
-Grid: (K, 2, NB) — NB batch blocks per phase, phases: 0 = critic
-(accumulate critic grads over blocks, Adam at the last block), 1 =
-actor (accumulate actor grads via dQ/da through the updated critic,
-Adam + Polyak at the last block). Parameters/moments live in output
-refs (constant index maps: VMEM-resident across the whole grid,
-flushed to HBM once at the end), initialized from the input refs at
-the first grid step.
+Grid: (K, 2, NB) — NB batch blocks per phase; phase 0 = critic
+(accumulate critic grads over blocks, Adam at the last block), phase 1
+= actor (accumulate actor grads via dQ/da through the updated critic,
+Adam + Polyak at the last block). Working parameters/moments live in
+VMEM scratch for the whole grid (the policy_rollout state pattern),
+initialized from the input refs at the first step and flushed to the
+output refs at the last.
 
-Layout: feature-major like ops/policy_rollout.py — activations are
-(features, batch_block) matrices, the batch stays on the lane axis,
-LayerNorm reduces over sublanes, and h' = W^T h needs no activation
-transposes. The backward pass contracts over lanes (dW = dZ . h^T) or
-sublanes (dH = W^T dZ) via dot_general dimension numbers, never
-materializing a transpose.
+Layout — BATCH-MAJOR, unlike the feature-major rollout kernels:
+activations are (block, features) with features on the lane axis, so
+  * biases and LayerNorm params are (1, H) ROWS, packed 3-per-layer
+    into one (8, H) buffer per network — a (H, 1) column would be
+    lane-padded to (H, 128), 131 KB of VMEM each, 56 buffers;
+  * LayerNorm reduces over lanes, grad reductions over sublanes;
+  * the critic's action concat (a lane-axis concatenate, rejected by
+    Mosaic) becomes a SPLIT matmul: z1 = h0 W1h + a W1a;
+  * heads are stored transposed (8, H) and applied/differentiated with
+    dot_general NT/TN contractions (probed on hardware) so no (H, 8)
+    buffer gets lane-padded.
+Head rows beyond the true action/Q width stay exactly zero through
+training: their forward contribution is zero, the masked loss gives
+them zero gradients, and Adam maps zero moments + zero gradient to a
+zero update.
 
 The numerical twin is `update_phase_math` below — identical
-componentwise math on plain jnp arrays — which tests/test_learner_kernel
-pins against agents/ddpg.py's XLA update scan AND against the kernel in
-interpret mode.
+componentwise math on plain jnp arrays via the SAME phase-block
+functions — which tests/test_learner_kernel.py pins against
+agents/ddpg.py's XLA update scan (jax.grad + optax) AND against this
+kernel in interpret mode.
 """
 
 from __future__ import annotations
@@ -57,153 +67,239 @@ _ADAM_EPS = 1e-8
 
 
 # --------------------------------------------------------------------------
-# Feature-major MLP math (componentwise; shared by the kernel and the
-# jnp twin — the same only-numpy-constants rule as physics/dynamics.py).
-# A "net" is (layers, w_out, b_out): layers = [(wt (H, F_in), b (H, 1),
-# ln_scale (H, 1), ln_bias (H, 1)), ...]; w_out (8, H_last) zero-row-
-# padded head; activations are (F, B) with B on the lane axis.
+# Batch-major MLP math (componentwise; shared verbatim by the kernel and
+# the jnp twin — the same only-numpy-constants rule as physics/dynamics).
+# Activations are (B, F) with the batch on sublanes; weights are flax-
+# native (F_in, H); biases/LN params are (1, H) rows.
 # --------------------------------------------------------------------------
 
+def _dot(a, b):
+    """Standard (B, K) @ (K, N)."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """a^T b: contract the sublane (batch) axis — (B, F), (B, H) ->
+    (F, H). The dW form."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """a b^T: contract the lane axis — (B, H), (F, H) -> (B, F). The
+    dH / transposed-head form."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _ln_relu(z, s, t):
-    """LayerNorm (over the feature/sublane axis, flax fast-variance
-    formula) + affine + relu. Returns (activation, xhat, inv, y) — the
-    backward pass recomputes nothing else."""
-    mu = jnp.mean(z, axis=0, keepdims=True)
-    var = jnp.mean(z * z, axis=0, keepdims=True) - mu * mu
+    """LayerNorm over lanes (flax fast-variance formula) + affine +
+    relu. Returns (activation, xhat, inv, y)."""
+    mu = jnp.mean(z, axis=1, keepdims=True)
+    var = jnp.mean(z * z, axis=1, keepdims=True) - mu * mu
     inv = jax.lax.rsqrt(var + np.float32(_LN_EPS))
     xh = (z - mu) * inv
-    y = s * xh + t
+    y = xh * s + t
     return jnp.maximum(y, 0.0), xh, inv, y
-
-
-def torso_fwd(h, layers):
-    """Dense+LayerNorm+relu stack. Returns (h_out, saved) with saved =
-    [(h_in, z), ...] per layer — the minimal residue for the backward
-    pass (LN intermediates are recomputed from z, trading a few VPU ops
-    for ~3x less VMEM residency per layer)."""
-    saved = []
-    for wt, b, s, t in layers:
-        z = jnp.dot(wt, h, preferred_element_type=jnp.float32) + b
-        saved.append((h, z))
-        h, _, _, _ = _ln_relu(z, s, t)
-    return h, saved
 
 
 def _ln_relu_bwd(dh, z, s, t):
     """Backward through relu+affine+LayerNorm given upstream dh and the
-    saved pre-LN z. Returns (dz, ds, dt)."""
+    saved pre-LN z (LN intermediates recomputed — a few VPU ops instead
+    of 3x the VMEM residency). Returns (dz, ds, dt) with ds/dt (1, H)."""
     _, xh, inv, y = _ln_relu(z, s, t)
     dy = dh * (y > 0.0).astype(jnp.float32)
-    ds = jnp.sum(dy * xh, axis=1, keepdims=True)
-    dt = jnp.sum(dy, axis=1, keepdims=True)
+    ds = jnp.sum(dy * xh, axis=0, keepdims=True)
+    dt = jnp.sum(dy, axis=0, keepdims=True)
     dxh = dy * s
-    dz = inv * (dxh - jnp.mean(dxh, axis=0, keepdims=True)
-                - xh * jnp.mean(dxh * xh, axis=0, keepdims=True))
+    dz = inv * (dxh - jnp.mean(dxh, axis=1, keepdims=True)
+                - xh * jnp.mean(dxh * xh, axis=1, keepdims=True))
     return dz, ds, dt
 
 
-def _dw(dz, h_in):
-    """dW = dZ . h_in^T — contract over the lane (batch) axis."""
-    return jax.lax.dot_general(dz, h_in,
-                               dimension_numbers=(((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+def _rows_height(n_layers: int) -> int:
+    """Sublane-padded height of the packed (b, scale, bias)-rows buffer."""
+    return max(8, -(-3 * n_layers // 8) * 8)
 
 
-def _dh(wt, dz):
-    """dH = W^T dZ — contract over the sublane (output-feature) axis."""
-    return jax.lax.dot_general(wt, dz,
-                               dimension_numbers=(((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+def _row(rows, i: int, width: int):
+    """Row i of the packed rows buffer, trimmed to the layer width
+    (no trim — and no lane slice — when widths are uniform)."""
+    r = rows[i:i + 1, :]
+    return r if width == rows.shape[1] else r[:, :width]
 
 
-def torso_bwd(dh, layers, saved, need_dinput: bool):
-    """Backward through torso_fwd. Returns (d_input or None, grads) with
-    grads = [(dW, db, ds, dt), ...] matching `layers`."""
-    grads = [None] * len(layers)
-    for i in reversed(range(len(layers))):
-        wt, b, s, t = layers[i]
-        h_in, z = saved[i]
-        dz, ds, dt = _ln_relu_bwd(dh, z, s, t)
-        grads[i] = (_dw(dz, h_in), jnp.sum(dz, axis=1, keepdims=True),
-                    ds, dt)
-        if i > 0 or need_dinput:
-            dh = _dh(wt, dz)
-        else:
-            dh = None
-    return dh, grads
-
-
-def head_fwd(h, w_out, b_out):
-    """(8, H) zero-row-padded linear head -> (8, B) pre-activations."""
-    return jnp.dot(w_out, h, preferred_element_type=jnp.float32) + b_out
-
-
-def head_bwd(d_rows, w_out, h):
-    """Backward through head_fwd given d(pre-activation) rows already
-    padded to 8 (pad rows zero). Returns (dw_out, db_out, dh)."""
-    dw = _dw(d_rows, h)
-    db = jnp.sum(d_rows, axis=1, keepdims=True)
-    return dw, db, _dh(w_out, d_rows)
-
-
-def _pad_rows(d, rows: int = 8):
-    """Zero-pad a (r, B) gradient to the 8-row padded head layout."""
+def _pad_row(d, width: int):
+    """Zero-pad a (1, h) row gradient to the pack width (lane concat —
+    only reached for non-uniform hidden sizes, i.e. interpret tests)."""
+    if d.shape[1] == width:
+        return d
     return jnp.concatenate(
-        [d, jnp.zeros((rows - d.shape[0], d.shape[1]), jnp.float32)],
-        axis=0)
+        [d, jnp.zeros((1, width - d.shape[1]), jnp.float32)], axis=1)
 
 
-# --- actor: torso + tanh head (rows 0..1) ----------------------------------
+def _lane0_mask(b: int):
+    """(B, 8) f32 mask selecting lane 0 — the real Q column."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (b, 8), 1) == 0
+            ).astype(jnp.float32)
 
-def actor_fwd(obs_fm, net):
-    layers, w_out, b_out = net
-    h, saved = torso_fwd(obs_fm, layers)
-    pre = head_fwd(h, w_out, b_out)
-    a = jnp.tanh(pre[0:2, :])
+
+# --- actor: torso + tanh head (lanes 0..1 of the padded 8) ------------------
+
+def actor_fwd(obs, flat, hidden):
+    """flat = [W0..W_{n-1}, WhT (8, H_last), rows (R, Hmax), bh (1, 8)].
+    Returns (a8 (B, 8) with lanes >= action_dim exactly 0, residue)."""
+    ws, wh, rows, bh = flat[:-3], flat[-3], flat[-2], flat[-1]
+    h, saved = obs, []
+    for i, hd in enumerate(hidden):
+        z = _dot(h, ws[i]) + _row(rows, 3 * i, hd)
+        saved.append((h, z))
+        h, _, _, _ = _ln_relu(z, _row(rows, 3 * i + 1, hd),
+                              _row(rows, 3 * i + 2, hd))
+    pre = _dot_nt(h, wh) + bh
+    a = jnp.tanh(pre)
     return a, (saved, h, a)
 
 
-def actor_bwd(da, net, residue):
-    """Grads of the actor for upstream da (2, B). Returns flat grad list
-    [dwt0, db0, ds0, dt0, ..., dw_out, db_out]."""
-    layers, w_out, b_out = net
-    saved, h, a = residue
-    dpre = _pad_rows(da * (1.0 - a * a))
-    dw_out, db_out, dh = head_bwd(dpre, w_out, h)
-    _, grads = torso_bwd(dh, layers, saved, need_dinput=False)
-    return [g for layer in grads for g in layer] + [dw_out, db_out]
+def actor_bwd(da8, flat, hidden, residue):
+    """Grads for upstream da8 (B, 8; pad lanes zero). Returns a flat
+    grad list mirroring `flat`."""
+    ws, wh, rows, bh = flat[:-3], flat[-3], flat[-2], flat[-1]
+    saved, h_last, a = residue
+    dpre = da8 * (1.0 - a * a)
+    dwh = _dot_tn(dpre, h_last)
+    dbh = jnp.sum(dpre, axis=0, keepdims=True)
+    dh = _dot(dpre, wh)
+    dws = [None] * len(hidden)
+    drows = [None] * (3 * len(hidden))
+    for i in reversed(range(len(hidden))):
+        hd = hidden[i]
+        h_in, z = saved[i]
+        dz, ds, dt = _ln_relu_bwd(dh, z, _row(rows, 3 * i + 1, hd),
+                                  _row(rows, 3 * i + 2, hd))
+        dws[i] = _dot_tn(h_in, dz)
+        drows[3 * i] = _pad_row(jnp.sum(dz, axis=0, keepdims=True),
+                                rows.shape[1])
+        drows[3 * i + 1] = _pad_row(ds, rows.shape[1])
+        drows[3 * i + 2] = _pad_row(dt, rows.shape[1])
+        if i > 0:
+            dh = _dot_nt(dz, ws[i])
+    pad = rows.shape[0] - 3 * len(hidden)
+    if pad:
+        drows += [jnp.zeros((1, rows.shape[1]), jnp.float32)] * pad
+    return dws + [dwh, jnp.concatenate(drows, axis=0), dbh]
 
 
-# --- critic: layer0(obs) -> concat action -> torso rest -> linear head -----
+# --- critic: W0(obs) -> split-matmul action inject -> torso -> head ---------
 
-def critic_fwd(obs_fm, act_fm, net):
-    """Q row (1, B). The action enters after layer 0 (models.CriticMLP
-    shape). Returns (q, residue)."""
-    layers, w_out, b_out = net
-    h0, saved0 = torso_fwd(obs_fm, layers[:1])
-    hcat = jnp.concatenate([h0, act_fm], axis=0)
-    h, saved = torso_fwd(hcat, layers[1:])
-    pre = head_fwd(h, w_out, b_out)
-    return pre[0:1, :], (saved0, saved, h)
+def critic_fwd(obs, act, flat, hidden):
+    """flat = [W0, W1h, W1a (8, H1), W2.., WhT, rows, bh]; act is (B, 2)
+    (replay actions) or (B, 8) (padded actor output, pad lanes zero).
+    Returns (q8 (B, 8) with lanes >= 1 exactly 0, residue)."""
+    w0, w1h, w1a = flat[0], flat[1], flat[2]
+    ws_rest, wh, rows, bh = flat[3:-3], flat[-3], flat[-2], flat[-1]
+    z0 = _dot(obs, w0) + _row(rows, 0, hidden[0])
+    h0, _, _, _ = _ln_relu(z0, _row(rows, 1, hidden[0]),
+                           _row(rows, 2, hidden[0]))
+    wa = w1a if act.shape[1] == w1a.shape[0] else w1a[:act.shape[1], :]
+    z1 = _dot(h0, w1h) + _dot(act, wa) + _row(rows, 3, hidden[1])
+    h, _, _, _ = _ln_relu(z1, _row(rows, 4, hidden[1]),
+                          _row(rows, 5, hidden[1]))
+    saved = [(obs, z0), (h0, z1)]
+    for i, hd in enumerate(hidden[2:], start=2):
+        z = _dot(h, ws_rest[i - 2]) + _row(rows, 3 * i, hd)
+        saved.append((h, z))
+        h, _, _, _ = _ln_relu(z, _row(rows, 3 * i + 1, hd),
+                              _row(rows, 3 * i + 2, hd))
+    q = _dot_nt(h, wh) + bh
+    return q, (saved, h, act)
 
 
-def critic_bwd(dq, net, residue, need_param_grads: bool,
+def critic_bwd(dq8, flat, hidden, residue, need_param_grads: bool,
                need_daction: bool):
-    """Backward through critic_fwd for upstream dq (1, B). Returns
-    (flat param grads or None, daction (2, B) or None)."""
-    layers, w_out, b_out = net
-    saved0, saved, h = residue
-    h0_dim = layers[0][0].shape[0]
-    dw_out, db_out, dh = head_bwd(_pad_rows(dq), w_out, h)
-    dhcat, grads_rest = torso_bwd(dh, layers[1:], saved,
-                                  need_dinput=True)
-    daction = dhcat[h0_dim:, :] if need_daction else None
+    """Backward through critic_fwd for upstream dq8 (B, 8; pad lanes
+    zero). Returns (flat grad list or None, daction (B, 8) or None)."""
+    w0, w1h, w1a = flat[0], flat[1], flat[2]
+    ws_rest, wh, rows, bh = flat[3:-3], flat[-3], flat[-2], flat[-1]
+    saved, h_last, act = residue
+    n = len(hidden)
+    wm = rows.shape[1]
+    dwh = _dot_tn(dq8, h_last)
+    dbh = jnp.sum(dq8, axis=0, keepdims=True)
+    dh = _dot(dq8, wh)
+    dws = [None] * n
+    drows = [None] * (3 * n)
+    for i in reversed(range(2, n)):
+        h_in, z = saved[i]
+        dz, ds, dt = _ln_relu_bwd(dh, z, _row(rows, 3 * i + 1, hidden[i]),
+                                  _row(rows, 3 * i + 2, hidden[i]))
+        dws[i] = _dot_tn(h_in, dz)
+        drows[3 * i] = _pad_row(jnp.sum(dz, axis=0, keepdims=True), wm)
+        drows[3 * i + 1] = _pad_row(ds, wm)
+        drows[3 * i + 2] = _pad_row(dt, wm)
+        dh = _dot_nt(dz, ws_rest[i - 2])
+    # layer 1 (the split action-inject layer)
+    h0, z1 = saved[1]
+    dz1, ds1, dt1 = _ln_relu_bwd(dh, z1, _row(rows, 4, hidden[1]),
+                                 _row(rows, 5, hidden[1]))
+    daction = _dot_nt(dz1, w1a) if need_daction else None
     if not need_param_grads:
         return None, daction
-    dh0 = dhcat[:h0_dim, :]
-    _, grads0 = torso_bwd(dh0, layers[:1], saved0, need_dinput=False)
-    flat = [g for layer in grads0 + grads_rest for g in layer]
-    return flat + [dw_out, db_out], daction
+    dw1h = _dot_tn(h0, dz1)
+    dw1a = _dot_tn(act, dz1)
+    if act.shape[1] < w1a.shape[0]:
+        dw1a = jnp.concatenate(
+            [dw1a, jnp.zeros((w1a.shape[0] - act.shape[1],
+                              dw1a.shape[1]), jnp.float32)], axis=0)
+    drows[3] = _pad_row(jnp.sum(dz1, axis=0, keepdims=True), wm)
+    drows[4] = _pad_row(ds1, wm)
+    drows[5] = _pad_row(dt1, wm)
+    # layer 0
+    dh0 = _dot_nt(dz1, w1h)
+    obs_in, z0 = saved[0]
+    dz0, ds0, dt0 = _ln_relu_bwd(dh0, z0, _row(rows, 1, hidden[0]),
+                                 _row(rows, 2, hidden[0]))
+    dw0 = _dot_tn(obs_in, dz0)
+    drows[0] = _pad_row(jnp.sum(dz0, axis=0, keepdims=True), wm)
+    drows[1] = _pad_row(ds0, wm)
+    drows[2] = _pad_row(dt0, wm)
+    pad = rows.shape[0] - 3 * n
+    if pad:
+        drows += [jnp.zeros((1, wm), jnp.float32)] * pad
+    flat_g = ([dw0, dw1h, dw1a] + [dws[i] for i in range(2, n)]
+              + [dwh, jnp.concatenate(drows, axis=0), dbh])
+    return flat_g, daction
+
+
+# --- the two phase blocks (shared by kernel and twin) ------------------------
+
+def critic_phase_block(actor_t, critic, critic_t, obs, nobs, act, rew,
+                       done, gamma: float, inv_batch: float, hidden):
+    """Critic-TD gradient contribution of one batch block. rew/done are
+    (B, 1). Returns (flat critic grads, loss contribution)."""
+    a_next, _ = actor_fwd(nobs, actor_t, hidden)
+    q_next, _ = critic_fwd(nobs, a_next, critic_t, hidden)
+    y = rew + np.float32(gamma) * (1.0 - done) * q_next
+    q, residue = critic_fwd(obs, act, critic, hidden)
+    td = (q - y) * _lane0_mask(q.shape[0])
+    dq = np.float32(2.0 * inv_batch) * td
+    grads, _ = critic_bwd(dq, critic, hidden, residue,
+                          need_param_grads=True, need_daction=False)
+    return grads, np.float32(inv_batch) * jnp.sum(td * td)
+
+
+def actor_phase_block(actor, critic, obs, inv_batch: float, hidden):
+    """Actor gradient contribution of one batch block: d(-mean Q(s,
+    pi(s)))/d(actor params) through the (already updated) critic.
+    Returns (flat actor grads, loss contribution)."""
+    a8, res_a = actor_fwd(obs, actor, hidden)
+    q8, res_c = critic_fwd(obs, a8, critic, hidden)
+    mask = _lane0_mask(q8.shape[0])
+    dq = np.float32(-inv_batch) * mask
+    _, daction = critic_bwd(dq, critic, hidden, res_c,
+                            need_param_grads=False, need_daction=True)
+    grads = actor_bwd(daction, actor, hidden, res_a)
+    return grads, np.float32(-inv_batch) * jnp.sum(q8 * mask)
 
 
 # --- Adam + Polyak (componentwise; optax.adam semantics) --------------------
@@ -217,150 +313,136 @@ def adam_step(p, m, v, g, t, lr: float):
     v = np.float32(_ADAM_B2) * v + np.float32(1.0 - _ADAM_B2) * (g * g)
     bc1 = 1.0 - jnp.exp(t * np.float32(np.log(_ADAM_B1)))
     bc2 = 1.0 - jnp.exp(t * np.float32(np.log(_ADAM_B2)))
-    mhat = m / bc1
-    vhat = v / bc2
-    p = p - np.float32(lr) * mhat / (jnp.sqrt(vhat) + np.float32(_ADAM_EPS))
+    p = p - np.float32(lr) * (m / bc1) / (jnp.sqrt(v / bc2)
+                                          + np.float32(_ADAM_EPS))
     return p, m, v
 
 
 def polyak_flat(target_list, online_list, tau):
     """theta' <- theta' + tau (theta - theta') over flat operand lists."""
-    return [t + tau * (o - t) for t, o in zip(target_list, online_list)]
+    return [t + np.float32(tau) * (o - t)
+            for t, o in zip(target_list, online_list)]
 
 
 # --------------------------------------------------------------------------
-# Flat operand lists <-> flax pytrees.
-#
-# Kernel operand order per net: [wt0, b0, s0, t0, wt1, b1, s1, t1, ...,
-# w_out (8, H), b_out (8, 1)] — the policy_rollout convention. The same
-# flatten applies verbatim to optax Adam moment trees (they mirror the
-# param tree structure).
+# Flat operand lists <-> flax pytrees. The same flatten applies verbatim
+# to optax Adam moment trees (they mirror the param tree structure), and
+# every padded region is zero, which Adam/Polyak preserve.
 # --------------------------------------------------------------------------
 
 def actor_shapes(hidden, obs_dim: int):
-    shapes = []
-    f_in = obs_dim
+    shapes, f_in = [], obs_dim
     for h in hidden:
-        shapes += [(h, f_in), (h, 1), (h, 1), (h, 1)]
+        shapes.append((f_in, h))
         f_in = h
-    return shapes + [(8, f_in), (8, 1)]
+    return shapes + [(8, f_in), (_rows_height(len(hidden)), max(hidden)),
+                     (1, 8)]
 
 
 def critic_shapes(hidden, obs_dim: int, action_dim: int = 2):
-    shapes = []
-    f_in = obs_dim
-    for i, h in enumerate(hidden):
-        shapes += [(h, f_in), (h, 1), (h, 1), (h, 1)]
-        f_in = h + action_dim if i == 0 else h
-    return shapes + [(8, f_in), (8, 1)]
+    del action_dim  # the W1a inject block is always padded to 8 rows
+    shapes = [(obs_dim, hidden[0]), (hidden[0], hidden[1]),
+              (8, hidden[1])]
+    f_in = hidden[1]
+    for h in hidden[2:]:
+        shapes.append((f_in, h))
+        f_in = h
+    return shapes + [(8, f_in), (_rows_height(len(hidden)), max(hidden)),
+                     (1, 8)]
+
+
+def _vec_row(v, width: int):
+    """(h,) vector -> zero-padded (1, width) row."""
+    return jnp.zeros((1, width), jnp.float32).at[0, :v.shape[0]].set(v)
+
+
+def _pack_rows(triples, n_layers: int, width: int):
+    rows = [r for triple in triples for r in triple]
+    rows += [jnp.zeros((1, width), jnp.float32)] * (
+        _rows_height(n_layers) - 3 * n_layers)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _head_ops(kernel, bias):
+    """(H, out) head -> ((8, H) transposed zero-padded weight, (1, 8)
+    padded bias)."""
+    wt = jnp.transpose(kernel)
+    wh = jnp.zeros((8, wt.shape[1]), jnp.float32).at[:wt.shape[0]].set(wt)
+    return wh, _vec_row(bias, 8)
 
 
 def flatten_actor(params, hidden):
     """ActorMLP tree (params or same-structure Adam moments) -> flat
-    operand list (feature-major, 8-row padded head)."""
+    operand list [W0..W_{n-1}, WhT, rows, bh]."""
     torso = params["params"]["_Torso_0"]
-    flat = []
+    wm = max(hidden)
+    ws, triples = [], []
     for i, _ in enumerate(hidden):
         d, ln = torso[f"Dense_{i}"], torso[f"LayerNorm_{i}"]
-        flat += [jnp.transpose(d["kernel"]), d["bias"][:, None],
-                 ln["scale"][:, None], ln["bias"][:, None]]
+        ws.append(jnp.asarray(d["kernel"], jnp.float32))
+        triples.append((_vec_row(d["bias"], wm), _vec_row(ln["scale"], wm),
+                        _vec_row(ln["bias"], wm)))
     head = params["params"]["Dense_0"]
-    w = jnp.transpose(head["kernel"])
-    b = head["bias"][:, None]
-    pad = 8 - w.shape[0]
-    flat.append(jnp.concatenate(
-        [w, jnp.zeros((pad, w.shape[1]), jnp.float32)], axis=0))
-    flat.append(jnp.concatenate([b, jnp.zeros((pad, 1), jnp.float32)],
-                                axis=0))
-    return flat
+    wh, bh = _head_ops(head["kernel"], head["bias"])
+    return ws + [wh, _pack_rows(triples, len(hidden), wm), bh]
 
 
 def unflatten_actor(flat, hidden, action_dim: int = 2):
-    """Inverse of flatten_actor (back to the flax tree layout)."""
+    ws, wh, rows, bh = flat[:-3], flat[-3], flat[-2], flat[-1]
     torso = {}
-    for i, _ in enumerate(hidden):
-        wt, b, s, t = flat[4 * i:4 * i + 4]
-        torso[f"Dense_{i}"] = {"kernel": jnp.transpose(wt),
-                               "bias": b[:, 0]}
-        torso[f"LayerNorm_{i}"] = {"scale": s[:, 0], "bias": t[:, 0]}
-    w_out, b_out = flat[-2], flat[-1]
+    for i, hd in enumerate(hidden):
+        torso[f"Dense_{i}"] = {"kernel": ws[i],
+                               "bias": rows[3 * i, :hd]}
+        torso[f"LayerNorm_{i}"] = {"scale": rows[3 * i + 1, :hd],
+                                   "bias": rows[3 * i + 2, :hd]}
     return {"params": {"_Torso_0": torso,
                        "Dense_0": {
-                           "kernel": jnp.transpose(w_out[:action_dim]),
-                           "bias": b_out[:action_dim, 0]}}}
+                           "kernel": jnp.transpose(wh[:action_dim]),
+                           "bias": bh[0, :action_dim]}}}
 
 
 def flatten_critic(params, hidden):
     """CriticMLP tree (or same-structure Adam moments) -> flat operand
-    list. CriticMLP builds Dense_i/LayerNorm_i inline (no _Torso), with
-    Dense_{n} as the 1-unit head (padded to 8 rows)."""
+    list [W0, W1h, W1a, W2.., WhT, rows, bh]. CriticMLP builds Dense_i/
+    LayerNorm_i inline, Dense_1's kernel rows beyond hidden[0] are the
+    action columns (models/nets.py concat order), Dense_{n} is the
+    1-unit head."""
     p = params["params"]
-    flat = []
+    wm = max(hidden)
+    h0 = hidden[0]
+    k1 = jnp.asarray(p["Dense_1"]["kernel"], jnp.float32)
+    w1a = jnp.zeros((8, k1.shape[1]), jnp.float32).at[
+        :k1.shape[0] - h0].set(k1[h0:])
+    ws = [jnp.asarray(p["Dense_0"]["kernel"], jnp.float32), k1[:h0], w1a]
+    triples = []
     for i, _ in enumerate(hidden):
         d, ln = p[f"Dense_{i}"], p[f"LayerNorm_{i}"]
-        flat += [jnp.transpose(d["kernel"]), d["bias"][:, None],
-                 ln["scale"][:, None], ln["bias"][:, None]]
+        if i >= 2:
+            ws.append(jnp.asarray(d["kernel"], jnp.float32))
+        triples.append((_vec_row(d["bias"], wm), _vec_row(ln["scale"], wm),
+                        _vec_row(ln["bias"], wm)))
     head = p[f"Dense_{len(hidden)}"]
-    w = jnp.transpose(head["kernel"])          # (1, H)
-    b = head["bias"][:, None]
-    flat.append(jnp.concatenate(
-        [w, jnp.zeros((7, w.shape[1]), jnp.float32)], axis=0))
-    flat.append(jnp.concatenate([b, jnp.zeros((7, 1), jnp.float32)],
-                                axis=0))
-    return flat
+    wh, bh = _head_ops(head["kernel"], head["bias"])
+    return ws + [wh, _pack_rows(triples, len(hidden), wm), bh]
 
 
-def unflatten_critic(flat, hidden):
+def unflatten_critic(flat, hidden, action_dim: int = 2):
+    w0, w1h, w1a = flat[0], flat[1], flat[2]
+    ws_rest, wh, rows, bh = flat[3:-3], flat[-3], flat[-2], flat[-1]
     p = {}
-    for i, _ in enumerate(hidden):
-        wt, b, s, t = flat[4 * i:4 * i + 4]
-        p[f"Dense_{i}"] = {"kernel": jnp.transpose(wt), "bias": b[:, 0]}
-        p[f"LayerNorm_{i}"] = {"scale": s[:, 0], "bias": t[:, 0]}
-    w_out, b_out = flat[-2], flat[-1]
-    p[f"Dense_{len(hidden)}"] = {"kernel": jnp.transpose(w_out[:1]),
-                                 "bias": b_out[:1, 0]}
+    for i, hd in enumerate(hidden):
+        if i == 0:
+            kern = w0
+        elif i == 1:
+            kern = jnp.concatenate([w1h, w1a[:action_dim]], axis=0)
+        else:
+            kern = ws_rest[i - 2]
+        p[f"Dense_{i}"] = {"kernel": kern, "bias": rows[3 * i, :hd]}
+        p[f"LayerNorm_{i}"] = {"scale": rows[3 * i + 1, :hd],
+                               "bias": rows[3 * i + 2, :hd]}
+    p[f"Dense_{len(hidden)}"] = {"kernel": jnp.transpose(wh[:1]),
+                                 "bias": bh[0, :1]}
     return {"params": p}
-
-
-def _as_net(flat, num_layers: int):
-    """Flat operand list -> (layers, w_out, b_out) view."""
-    layers = [tuple(flat[4 * i:4 * i + 4]) for i in range(num_layers)]
-    return layers, flat[-2], flat[-1]
-
-
-# --------------------------------------------------------------------------
-# One update iteration, componentwise — called per (phase, block) by both
-# the kernel and the jnp twin.
-# --------------------------------------------------------------------------
-
-def critic_phase_block(actor_t, critic, critic_t, obs_fm, act_fm, rew,
-                       done, gamma: float, inv_batch: float):
-    """Critic-TD gradient contribution of one batch block. Returns
-    (flat critic grads, summed loss contribution * inv_batch)."""
-    a_next, _ = actor_fwd(obs_fm["next"], actor_t)
-    q_next, _ = critic_fwd(obs_fm["next"], a_next, critic_t)
-    y = rew + np.float32(gamma) * (1.0 - done) * q_next
-    q, residue = critic_fwd(obs_fm["obs"], act_fm, critic)
-    td = q - y
-    dq = np.float32(2.0 * inv_batch) * td
-    grads, _ = critic_bwd(dq, critic, residue, need_param_grads=True,
-                          need_daction=False)
-    loss = np.float32(inv_batch) * jnp.sum(td * td)
-    return grads, loss
-
-
-def actor_phase_block(actor, critic, obs_fm, inv_batch: float):
-    """Actor gradient contribution of one batch block: d(-mean Q(s,
-    pi(s)))/d(actor params) through the (already updated) critic.
-    Returns (flat actor grads, summed loss contribution * inv_batch)."""
-    a, res_a = actor_fwd(obs_fm, actor)
-    q, res_c = critic_fwd(obs_fm, a, critic)
-    dq = jnp.full_like(q, np.float32(-inv_batch))
-    _, daction = critic_bwd(dq, critic, res_c, need_param_grads=False,
-                            need_daction=True)
-    grads = actor_bwd(daction, actor, res_a)
-    loss = np.float32(-inv_batch) * jnp.sum(q)
-    return grads, loss
 
 
 # --------------------------------------------------------------------------
@@ -377,49 +459,240 @@ def update_phase_math(actor, critic, actor_t, critic_t, m_a, v_a, m_c,
     (K, Bm, 2), reward (K, Bm), next_obs (K, Bm, F), done (K, Bm)).
     Returns (actor, critic, actor_t, critic_t, m_a, v_a, m_c, v_c,
     closs (K,), aloss (K,))."""
-    n = len(hidden)
     k_updates, bm = batches[0].shape[0], batches[0].shape[1]
     blk = bm // num_blocks
     inv = 1.0 / bm
     closses, alosses = [], []
     for k in range(k_updates):
         obs, act, rew, nobs, done = (x[k] for x in batches)
+        rew = rew[:, None]
+        done = done.astype(jnp.float32)[:, None]
         tk = (t0 + k + 1).astype(jnp.float32)
-        # --- phase 0: critic ---------------------------------------------
         cg, closs = None, jnp.float32(0.0)
         for j in range(num_blocks):
             sl = slice(j * blk, (j + 1) * blk)
-            fm = {"obs": jnp.transpose(obs[sl]),
-                  "next": jnp.transpose(nobs[sl])}
-            g, ls = critic_phase_block(
-                _as_net(actor_t, n), _as_net(critic, n),
-                _as_net(critic_t, n), fm, jnp.transpose(act[sl]),
-                rew[sl][None, :], done[sl].astype(jnp.float32)[None, :],
-                gamma, inv)
+            g, ls = critic_phase_block(actor_t, critic, critic_t,
+                                       obs[sl], nobs[sl], act[sl],
+                                       rew[sl], done[sl], gamma, inv,
+                                       hidden)
             cg = g if cg is None else [a + b for a, b in zip(cg, g)]
             closs = closs + ls
         new = [adam_step(p, m, v, g, tk, critic_lr)
                for p, m, v, g in zip(critic, m_c, v_c, cg)]
-        critic = [x[0] for x in new]
-        m_c = [x[1] for x in new]
-        v_c = [x[2] for x in new]
-        # --- phase 1: actor (through the updated critic) ------------------
+        critic, m_c, v_c = ([x[i] for x in new] for i in range(3))
         ag, aloss = None, jnp.float32(0.0)
         for j in range(num_blocks):
             sl = slice(j * blk, (j + 1) * blk)
-            g, ls = actor_phase_block(
-                _as_net(actor, n), _as_net(critic, n),
-                jnp.transpose(obs[sl]), inv)
+            g, ls = actor_phase_block(actor, critic, obs[sl], inv,
+                                      hidden)
             ag = g if ag is None else [a + b for a, b in zip(ag, g)]
             aloss = aloss + ls
         new = [adam_step(p, m, v, g, tk, actor_lr)
                for p, m, v, g in zip(actor, m_a, v_a, ag)]
-        actor = [x[0] for x in new]
-        m_a = [x[1] for x in new]
-        v_a = [x[2] for x in new]
-        actor_t = polyak_flat(actor_t, actor, np.float32(tau))
-        critic_t = polyak_flat(critic_t, critic, np.float32(tau))
+        actor, m_a, v_a = ([x[i] for x in new] for i in range(3))
+        actor_t = polyak_flat(actor_t, actor, tau)
+        critic_t = polyak_flat(critic_t, critic, tau)
         closses.append(closs)
         alosses.append(aloss)
     return (actor, critic, actor_t, critic_t, m_a, v_a, m_c, v_c,
             jnp.stack(closses), jnp.stack(alosses))
+
+
+# --------------------------------------------------------------------------
+# The kernel.
+# --------------------------------------------------------------------------
+
+def _update_kernel(hidden, na: int, nc: int, nb: int, gamma: float,
+                   tau: float, actor_lr: float, critic_lr: float,
+                   inv_bm: float, k_updates: int, *refs):
+    n_par = 4 * na + 4 * nc
+    obs_ref, nobs_ref, act_ref, rew_ref, done_ref = refs[:5]
+    par_in = refs[5:5 + n_par]
+    t0_ref = refs[5 + n_par]
+    outs = refs[6 + n_par:6 + 2 * n_par]
+    losses_ref = refs[6 + 2 * n_par]
+    scratch = refs[7 + 2 * n_par:]
+    par_s = scratch[:n_par]
+    acc_c = scratch[n_par:n_par + nc]
+    acc_a = scratch[n_par + nc:n_par + nc + na]
+    closs_s, aloss_s = scratch[n_par + nc + na:]
+
+    kk = pl.program_id(0)
+    ph = pl.program_id(1)
+    j = pl.program_id(2)
+
+    # group slices of the VMEM-resident working set
+    o = [0, na, na + nc, 2 * na + nc, 2 * (na + nc), 3 * na + 2 * nc,
+         4 * na + 2 * nc, 4 * na + 3 * nc, n_par]
+    (a_s, c_s, at_s, ct_s, ma_s, va_s, mc_s, vc_s) = (
+        par_s[o[i]:o[i + 1]] for i in range(8))
+
+    @pl.when((kk == 0) & (ph == 0) & (j == 0))
+    def _init():
+        for dst, src in zip(par_s, par_in):
+            dst[:] = src[:]
+
+    obs = obs_ref[0]
+    act = act_ref[0]
+
+    @pl.when(ph == 0)
+    def _critic_phase():
+        grads, closs = critic_phase_block(
+            [r[:] for r in at_s], [r[:] for r in c_s],
+            [r[:] for r in ct_s], obs, nobs_ref[0], act, rew_ref[0],
+            done_ref[0], gamma, inv_bm, hidden)
+        tile = jnp.full((1, 128), closs, jnp.float32)
+
+        @pl.when(j == 0)
+        def _first():
+            for dst, g in zip(acc_c, grads):
+                dst[:] = g
+            closs_s[:] = tile
+
+        @pl.when(j > 0)
+        def _rest():
+            for dst, g in zip(acc_c, grads):
+                dst[:] = dst[:] + g
+            closs_s[:] = closs_s[:] + tile
+
+        @pl.when(j == nb - 1)
+        def _apply():
+            tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
+            for p, m, v, g in zip(c_s, mc_s, vc_s, acc_c):
+                pn, mn, vn = adam_step(p[:], m[:], v[:], g[:], tk,
+                                       critic_lr)
+                p[:] = pn
+                m[:] = mn
+                v[:] = vn
+
+    @pl.when(ph == 1)
+    def _actor_phase():
+        grads, aloss = actor_phase_block(
+            [r[:] for r in a_s], [r[:] for r in c_s], obs, inv_bm,
+            hidden)
+        tile = jnp.full((1, 128), aloss, jnp.float32)
+
+        @pl.when(j == 0)
+        def _first():
+            for dst, g in zip(acc_a, grads):
+                dst[:] = g
+            aloss_s[:] = tile
+
+        @pl.when(j > 0)
+        def _rest():
+            for dst, g in zip(acc_a, grads):
+                dst[:] = dst[:] + g
+            aloss_s[:] = aloss_s[:] + tile
+
+        @pl.when(j == nb - 1)
+        def _apply():
+            tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
+            for p, m, v, g in zip(a_s, ma_s, va_s, acc_a):
+                pn, mn, vn = adam_step(p[:], m[:], v[:], g[:], tk,
+                                       actor_lr)
+                p[:] = pn
+                m[:] = mn
+                v[:] = vn
+            for tr, on in zip(at_s, a_s):
+                tr[:] = tr[:] + np.float32(tau) * (on[:] - tr[:])
+            for tr, on in zip(ct_s, c_s):
+                tr[:] = tr[:] + np.float32(tau) * (on[:] - tr[:])
+            losses_ref[0] = jnp.concatenate(
+                [closs_s[:], aloss_s[:],
+                 jnp.zeros((6, 128), jnp.float32)], axis=0)
+
+    @pl.when((kk == k_updates - 1) & (ph == 1) & (j == nb - 1))
+    def _finalize():
+        for dst, src in zip(outs, par_s):
+            dst[:] = src[:]
+
+
+def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
+                      batch_size: int, *, actor_lr: float,
+                      critic_lr: float, gamma: float, tau: float,
+                      block_size: int = 512, interpret: bool = False):
+    """Builder: one pallas_call covering the whole K-update DDPG learner
+    phase.
+
+    Returned fn(groups, batches, t0) -> (groups', closs (K,), aloss (K,))
+    with groups = (actor, critic, actor_t, critic_t, m_a, v_a, m_c, v_c)
+    as flat operand lists (flatten_actor / flatten_critic layout),
+    batches = the replay_presample output (obs (K, Bm, F), action
+    (K, Bm, 2), reward (K, Bm), next_obs (K, Bm, F), done (K, Bm)), and
+    t0 the optax Adam step count before this phase.
+    """
+    hidden = tuple(hidden)
+    if len(hidden) < 2:
+        raise ValueError("the fused update kernel needs >= 2 hidden "
+                         "layers (action injects at layer 1)")
+    a_sh = actor_shapes(hidden, obs_dim)
+    c_sh = critic_shapes(hidden, obs_dim)
+    group_shapes = ([a_sh, c_sh, a_sh, c_sh]      # params + targets
+                    + [a_sh, a_sh, c_sh, c_sh])   # m_a, v_a, m_c, v_c
+    na, nc = len(a_sh), len(c_sh)
+    blk = min(block_size, batch_size)
+    if batch_size % blk:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"block {blk}")
+    nb = batch_size // blk
+
+    kernel = functools.partial(_update_kernel, hidden, na, nc, nb,
+                               gamma, tau, actor_lr, critic_lr,
+                               1.0 / batch_size, k_updates)
+
+    def batch_spec(width):
+        return pl.BlockSpec((1, blk, width), lambda k, ph, j: (k, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def par_spec(shape):
+        return pl.BlockSpec(shape, lambda k, ph, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flat_shapes = [s for g in group_shapes for s in g]
+    in_specs = (
+        [batch_spec(obs_dim), batch_spec(obs_dim), batch_spec(2),
+         batch_spec(1), batch_spec(1)]
+        + [par_spec(s) for s in flat_shapes]
+        + [pl.BlockSpec((1, 1), lambda k, ph, j: (0, 0),
+                        memory_space=pltpu.SMEM)]
+    )
+    out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32)
+                  for s in flat_shapes]
+                 + [jax.ShapeDtypeStruct((k_updates, 8, 128),
+                                         jnp.float32)])
+    out_specs = ([par_spec(s) for s in flat_shapes]
+                 + [pl.BlockSpec((1, 8, 128), lambda k, ph, j: (k, 0, 0),
+                                 memory_space=pltpu.VMEM)])
+    scratch_shapes = (
+        [pltpu.VMEM(s, jnp.float32) for s in flat_shapes]     # working
+        + [pltpu.VMEM(s, jnp.float32) for s in c_sh]          # acc_c
+        + [pltpu.VMEM(s, jnp.float32) for s in a_sh]          # acc_a
+        + [pltpu.VMEM((1, 128), jnp.float32)] * 2             # losses
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(k_updates, 2, nb),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )
+    sizes = [len(g) for g in group_shapes]
+
+    def run(groups, batches, t0):
+        obs, act, rew, nobs, done = batches
+        k, bm = obs.shape[0], obs.shape[1]
+        args = ([obs, nobs, act, rew.reshape(k, bm, 1),
+                 done.astype(jnp.float32).reshape(k, bm, 1)]
+                + [arr for g in groups for arr in g]
+                + [jnp.asarray(t0, jnp.int32).reshape(1, 1)])
+        out = call(*args)
+        new_groups, pos = [], 0
+        for sz in sizes:
+            new_groups.append(list(out[pos:pos + sz]))
+            pos += sz
+        losses = out[pos]
+        return tuple(new_groups), losses[:, 0, 0], losses[:, 1, 0]
+
+    return run

@@ -12,6 +12,8 @@ Three layers of pinning, strongest anchor first:
      (same math, kernel ref plumbing).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,3 +150,36 @@ def test_update_math_block_split_invariance():
     for a, b in zip(jax.tree.leaves(one), jax.tree.leaves(two)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_interpret_matches_math_twin():
+    """The pallas_call (interpret mode) against the componentwise twin:
+    same math through the kernel's ref plumbing, grid phases and block
+    accumulation — near-bitwise."""
+    agent = _agent()
+    st = agent.init(0)
+    obs_dim = agent.env.obs_shape[0]
+    batches = _fake_batches(jax.random.PRNGKey(4), obs_dim)
+    f = _flatten_state(agent, st)
+    groups = (f["actor"], f["critic"], f["actor_t"], f["critic_t"],
+              f["m_a"], f["v_a"], f["m_c"], f["v_c"])
+    blk = 32
+    run = lk.ddpg_update_phase(
+        HIDDEN, obs_dim, K, BM, actor_lr=agent.cfg.actor_lr,
+        critic_lr=agent.cfg.critic_lr, gamma=agent.cfg.gamma,
+        tau=agent.cfg.tau, block_size=blk, interpret=True)
+    new_groups, closs, aloss = jax.jit(run)(groups, batches, f["t0"])
+
+    want = jax.jit(functools.partial(
+        lk.update_phase_math, hidden=HIDDEN, actor_lr=agent.cfg.actor_lr,
+        critic_lr=agent.cfg.critic_lr, gamma=agent.cfg.gamma,
+        tau=agent.cfg.tau, num_blocks=BM // blk))(
+            f["actor"], f["critic"], f["actor_t"], f["critic_t"],
+            f["m_a"], f["v_a"], f["m_c"], f["v_c"], batches, f["t0"])
+    tol = dict(rtol=1e-5, atol=1e-7)
+    for got_g, want_g in zip(new_groups, want[:8]):
+        _assert_tree_close(got_g, want_g, **tol)
+    np.testing.assert_allclose(np.asarray(closs), np.asarray(want[8]),
+                               **tol)
+    np.testing.assert_allclose(np.asarray(aloss), np.asarray(want[9]),
+                               **tol)
