@@ -78,6 +78,15 @@ class DDPGConfig:
     # tree ops inside the serial update chain; equivalent to a target
     # update period of K gradient steps, standard in DQN-family code).
     polyak_cadence: str = "per_update"
+    # Learner implementation: "xla" (the _update_once scan), "kernel"
+    # (the whole K-update phase as ONE Pallas kernel with params/Adam
+    # moments/targets VMEM-resident — ops/learner_kernel.py), or "auto"
+    # (kernel on a single TPU device when the config shape is covered).
+    # The kernel implements the DEFAULT semantics (actor_grad_critic=
+    # "updated", polyak per_update, f32) and consumes the same
+    # presampled minibatches, bitwise, as the XLA path.
+    learner: str = "auto"
+    learner_block: int = 512         # kernel batch-block (VMEM budget)
 
 
 class DDPGState(NamedTuple):
@@ -239,6 +248,84 @@ class DDPG:
                 critic_target=polyak(st.critic_target, critic, c.tau))
         return st, {"critic_loss": closs, "actor_loss": aloss}
 
+    def kernel_learner_ok(self) -> bool:
+        """Whether ops/learner_kernel.py covers this config: state obs
+        (pixel frames would blow VMEM), >= 2 hidden layers (the action
+        injects at layer 1), the default update semantics (the kernel
+        bakes them in), f32 nets, presample-able replay, and no
+        shard_map axis (gradients cannot pmean inside a pallas_call)."""
+        c = self.cfg
+        return (self.env.obs_mode != "pixels"
+                and not self.replay.quantize_obs
+                and len(c.hidden) >= 2
+                and c.actor_grad_critic == "updated"
+                and c.polyak_cadence == "per_update"
+                and c.dtype == "float32"
+                and self.dist_axis is None
+                and self.local_batch_size % 8 == 0)
+
+    def _kernel_block(self) -> int:
+        """Largest power-of-two-reduced block <= learner_block that
+        divides the minibatch (the kernel grid needs uniform blocks)."""
+        blk = min(self.cfg.learner_block, self.local_batch_size)
+        while self.local_batch_size % blk:
+            blk //= 2
+        return blk
+
+    def _kernel_update_phase(self, st: DDPGState, ready):
+        """The warmup-gated K-update learner phase through the fused
+        Pallas kernel — the op-stream-free twin of gated_update_scan +
+        _update_once (same rng splits, same presampled batches bitwise,
+        same Adam/Polyak semantics; ops/learner_kernel.py docstring)."""
+        from ..ops import learner_kernel as lk
+
+        c = self.cfg
+        h = tuple(c.hidden)
+        run = lk.ddpg_update_phase(
+            h, self.env.obs_shape[0], c.updates_per_step,
+            self.local_batch_size, actor_lr=c.actor_lr,
+            critic_lr=c.critic_lr, gamma=c.gamma, tau=c.tau,
+            block_size=self._kernel_block(),
+            interpret=jax.default_backend() != "tpu")
+        presample = replay_presample(self.replay, c.sample, c.batch_size,
+                                     self.num_shards, self.dist_axis)
+
+        def do(s):
+            rng, k = jax.random.split(s.rng)
+            s = s._replace(rng=rng)
+            keys = jax.random.split(k, c.updates_per_step)
+            batches = presample(s, keys)
+            groups = (lk.flatten_actor(s.actor, h),
+                      lk.flatten_critic(s.critic, h),
+                      lk.flatten_actor(s.actor_target, h),
+                      lk.flatten_critic(s.critic_target, h),
+                      lk.flatten_actor(s.actor_opt[0].mu, h),
+                      lk.flatten_actor(s.actor_opt[0].nu, h),
+                      lk.flatten_critic(s.critic_opt[0].mu, h),
+                      lk.flatten_critic(s.critic_opt[0].nu, h))
+            t0 = s.actor_opt[0].count
+            new, closs, aloss = run(groups, batches, t0)
+            count = t0 + jnp.int32(c.updates_per_step)
+            a_opt = (s.actor_opt[0]._replace(
+                count=count, mu=lk.unflatten_actor(new[4], h),
+                nu=lk.unflatten_actor(new[5], h)),) + tuple(s.actor_opt[1:])
+            c_opt = (s.critic_opt[0]._replace(
+                count=count, mu=lk.unflatten_critic(new[6], h),
+                nu=lk.unflatten_critic(new[7], h)),) + tuple(
+                    s.critic_opt[1:])
+            s = s._replace(
+                actor=lk.unflatten_actor(new[0], h),
+                critic=lk.unflatten_critic(new[1], h),
+                actor_target=lk.unflatten_actor(new[2], h),
+                critic_target=lk.unflatten_critic(new[3], h),
+                actor_opt=a_opt, critic_opt=c_opt)
+            return s, {"critic_loss": jnp.mean(closs),
+                       "actor_loss": jnp.mean(aloss)}
+
+        zero = {"critic_loss": jnp.float32(0.0),
+                "actor_loss": jnp.float32(0.0)}
+        return jax.lax.cond(ready, do, lambda s: (s, zero), st)
+
     def greedy_policy(self, st: DDPGState):
         """Deterministic policy fn(obs) -> action (no OU noise)."""
         return lambda o: self.act(st.actor, o)
@@ -252,7 +339,8 @@ class DDPG:
 
     # --- the fused actor-learner step ---------------------------------------
     def train_step(self, st: DDPGState, capture: bool = False,
-                   fused: bool = False) -> tuple[DDPGState, dict]:
+                   fused: bool = False,
+                   kernel_learner: bool = False) -> tuple[DDPGState, dict]:
         """rollout_steps env-steps + replay insert + updates_per_step
         gradient updates, as one jit-able program.
 
@@ -260,6 +348,11 @@ class DDPG:
         kernel (ops/policy_rollout.py) instead of the XLA env scan —
         numerically twinned (tests/test_policy_rollout.py), an order of
         magnitude faster on TPU (BASELINE.md round-2 throughput table).
+
+        kernel_learner=True runs the whole K-update learner phase as ONE
+        Pallas kernel (ops/learner_kernel.py) instead of the XLA update
+        scan — same presampled batches bitwise, same Adam/Polyak
+        semantics, zero intermediate HBM traffic.
         """
         c = self.cfg
         rng = st.rng
@@ -293,12 +386,20 @@ class DDPG:
                          noise=noise, rng=rng, env_steps=env_steps)
 
         ready = env_steps >= c.warmup_env_steps
-        st, losses = gated_update_scan(
-            st, self._update_once, c.updates_per_step, ready,
-            {"critic_loss": jnp.float32(0.0),
-             "actor_loss": jnp.float32(0.0)},
-            presample=replay_presample(self.replay, c.sample, c.batch_size,
-                                       self.num_shards, self.dist_axis))
+        if kernel_learner:
+            if not self.kernel_learner_ok():
+                raise ValueError("config shape not coverable by the "
+                                 "fused update kernel (see "
+                                 "DDPG.kernel_learner_ok)")
+            st, losses = self._kernel_update_phase(st, ready)
+        else:
+            st, losses = gated_update_scan(
+                st, self._update_once, c.updates_per_step, ready,
+                {"critic_loss": jnp.float32(0.0),
+                 "actor_loss": jnp.float32(0.0)},
+                presample=replay_presample(self.replay, c.sample,
+                                           c.batch_size, self.num_shards,
+                                           self.dist_axis))
         if c.polyak_cadence == "per_step":
             # Compounded pull: K per-update polyaks at rate tau move the
             # target by 1-(1-tau)^K toward a FIXED online net; applying
@@ -329,18 +430,30 @@ class DDPG:
         from ..ops.policy_rollout import fusable
         return fusable(self.env, tuple(self.cfg.hidden))
 
-    def make_train_step(self, capture: bool = False, fused=None):
+    def make_train_step(self, capture: bool = False, fused=None,
+                        kernel_learner=None):
         """Jitted train_step with donated state. capture=True additionally
         returns the rollout chunk in metrics["traj"] (time-major
         (obs, action, reward, done)) for the event-log sink. fused=None
         auto-selects the Pallas actor-rollout kernel on TPU when the
         shape is coverable (single-device or per-shard batches only —
-        under the SPMD partitioner a pallas_call cannot be re-sharded)."""
+        under the SPMD partitioner a pallas_call cannot be re-sharded).
+        kernel_learner=None resolves cfg.learner: "kernel" forces the
+        fused update-phase kernel, "auto" enables it on a single TPU
+        device when DDPG.kernel_learner_ok() holds."""
         if fused is None:
             fused = (self.fusable()
                      and jax.default_backend() == "tpu"
                      and (self.dist_axis is not None
                           or len(jax.devices()) == 1))
+        if kernel_learner is None:
+            kernel_learner = (
+                self.cfg.learner == "kernel"
+                or (self.cfg.learner == "auto"
+                    and self.kernel_learner_ok()
+                    and jax.default_backend() == "tpu"
+                    and len(jax.devices()) == 1))
         return jax.jit(functools.partial(self.train_step, capture=capture,
-                                         fused=fused),
+                                         fused=fused,
+                                         kernel_learner=kernel_learner),
                        donate_argnums=(0,))

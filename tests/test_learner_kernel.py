@@ -152,6 +152,40 @@ def test_update_math_block_split_invariance():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_train_step_kernel_learner_matches_xla_learner():
+    """Full train_step parity: the kernel-learner path must reproduce
+    the XLA update scan (same rng splits -> bitwise-identical presampled
+    batches; differences bounded by summation order only)."""
+    env = CartPole3D(continuous_params(), num_envs=64)
+    cfg = DDPGConfig(hidden=(32, 32), batch_size=64, rollout_steps=8,
+                     updates_per_step=2, warmup_env_steps=8,
+                     learner_block=32)
+    agent = DDPG(env, cfg)
+    st_x, st_k = agent.init(0), agent.init(0)
+    ts_x = agent.make_train_step(fused=False, kernel_learner=False)
+    ts_k = agent.make_train_step(fused=False, kernel_learner=True)
+    for _ in range(4):
+        st_x, m_x = ts_x(st_x)
+        st_k, m_k = ts_k(st_k)
+    tol = dict(rtol=2e-4, atol=1e-5)
+    for name in ("actor", "critic", "actor_target", "critic_target"):
+        _assert_tree_close(getattr(st_k, name), getattr(st_x, name),
+                           **tol)
+    assert int(st_k.actor_opt[0].count) == int(st_x.actor_opt[0].count)
+    for key in ("critic_loss", "actor_loss", "reward_mean", "done_frac"):
+        np.testing.assert_allclose(np.asarray(m_k[key]),
+                                   np.asarray(m_x[key]), **tol)
+
+
+def test_kernel_learner_rejects_uncovered_config():
+    env = CartPole3D(continuous_params(), num_envs=8)
+    agent = DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
+                                 actor_grad_critic="pre"))
+    assert not agent.kernel_learner_ok()
+    with pytest.raises(ValueError):
+        agent.train_step(agent.init(0), kernel_learner=True)
+
+
 def test_kernel_interpret_matches_math_twin():
     """The pallas_call (interpret mode) against the componentwise twin:
     same math through the kernel's ref plumbing, grid phases and block
