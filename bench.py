@@ -142,12 +142,15 @@ def bench_ddpg(num_envs: int, num_steps: int):
     # "per_update" (default) | "per_step" (one compounded polyak outside
     # the update scan).
     pol = os.environ.get("BENCH_DDPG_POLYAK", "per_update")
+    # "auto" (default: the fused update-phase kernel on one TPU chip) |
+    # "kernel" | "xla" — see DDPGConfig.learner.
+    learner = os.environ.get("BENCH_DDPG_LEARNER", "auto")
     env = CartPole3D(continuous_params(), num_envs=num_envs)
     agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
                                  updates_per_step=updates,
                                  batch_size=batch, warmup_env_steps=0,
                                  dtype=dtype, actor_grad_critic=agc,
-                                 polyak_cadence=pol))
+                                 polyak_cadence=pol, learner=learner))
     st = agent.init(0)
     step = agent.make_train_step()  # auto-selects the fused kernel on TPU
     st, m = step(st)
@@ -172,7 +175,10 @@ def bench_ddpg(num_envs: int, num_steps: int):
                       "batch_size": batch, "dtype": dtype,
                       "actor_grad_critic": agc, "polyak_cadence": pol,
                       "n_calls": n_calls, "best_s": round(best, 3),
-                      "fused": agent.fusable()}), file=sys.stderr)
+                      "fused": agent.fusable(),
+                      "learner": learner,
+                      "kernel_learner_ok": agent.kernel_learner_ok()}),
+          file=sys.stderr)
 
 
 def bench_dqn(num_envs: int, num_steps: int):

@@ -142,6 +142,25 @@ class DDPG:
             discrete=False)
         self.actor_tx = optax.adam(config.actor_lr)
         self.critic_tx = optax.adam(config.critic_lr)
+        # Resolve the learner implementation once, at construction: the
+        # kernel learner keeps its state in the kernel's flat operand
+        # layout PERMANENTLY (trees cost ~100 relayout ops per train
+        # step on the serial op stream — measured to eat the kernel's
+        # entire win), so the choice shapes init()/train_step/ckpt.
+        if config.learner == "kernel":
+            if not self.kernel_learner_ok():
+                raise ValueError("config shape not coverable by the "
+                                 "fused update kernel (see "
+                                 "DDPG.kernel_learner_ok)")
+            self.kernel_mode = True
+        elif config.learner == "auto":
+            self.kernel_mode = (self.kernel_learner_ok()
+                                and jax.default_backend() == "tpu"
+                                and len(jax.devices()) == 1)
+        elif config.learner == "xla":
+            self.kernel_mode = False
+        else:
+            raise ValueError(f"unknown learner {config.learner!r}")
 
     # --- init ---------------------------------------------------------------
     def init(self, key) -> DDPGState:
@@ -151,7 +170,7 @@ class DDPG:
         actor = self.actor_net.init(k_actor, obs0)
         critic = self.critic_net.init(k_critic, obs0, act0)
         env_state, obs = self.env.reset(k_env)
-        return DDPGState(
+        st = DDPGState(
             actor=actor,
             critic=critic,
             actor_target=jax.tree.map(jnp.copy, actor),
@@ -166,6 +185,70 @@ class DDPG:
             rng=k_run,
             env_steps=jnp.int32(0),
         )
+        return self.state_from_tree(st) if self.kernel_mode else st
+
+    # --- kernel-mode state layout --------------------------------------------
+    #
+    # In kernel mode the 8 learner groups (params, targets, Adam moments)
+    # live as the update kernel's flat operand lists; flax trees are
+    # materialized only at the boundaries (init, checkpoint, eval,
+    # unfused rollout). state_to_tree is the CANONICAL checkpoint layout
+    # — train.py converts on save/restore so checkpoints stay
+    # interchangeable between learner modes and backends.
+
+    def state_to_tree(self, st: DDPGState) -> DDPGState:
+        """Kernel-layout state -> canonical flax-tree state (no-op for
+        tree-mode states)."""
+        if not isinstance(st.actor, (list, tuple)):
+            return st
+        from ..ops import learner_kernel as lk
+
+        h = tuple(self.cfg.hidden)
+        return st._replace(
+            actor=lk.unflatten_actor(st.actor, h),
+            critic=lk.unflatten_critic(st.critic, h),
+            actor_target=lk.unflatten_actor(st.actor_target, h),
+            critic_target=lk.unflatten_critic(st.critic_target, h),
+            actor_opt=(st.actor_opt[0]._replace(
+                mu=lk.unflatten_actor(st.actor_opt[0].mu, h),
+                nu=lk.unflatten_actor(st.actor_opt[0].nu, h)),
+            ) + tuple(st.actor_opt[1:]),
+            critic_opt=(st.critic_opt[0]._replace(
+                mu=lk.unflatten_critic(st.critic_opt[0].mu, h),
+                nu=lk.unflatten_critic(st.critic_opt[0].nu, h)),
+            ) + tuple(st.critic_opt[1:]),
+        )
+
+    def state_from_tree(self, st: DDPGState) -> DDPGState:
+        """Canonical tree state -> this agent's native layout (kernel-
+        flat when kernel_mode, else identity)."""
+        if not self.kernel_mode or isinstance(st.actor, (list, tuple)):
+            return st
+        from ..ops import learner_kernel as lk
+
+        h = tuple(self.cfg.hidden)
+        return st._replace(
+            actor=lk.flatten_actor(st.actor, h),
+            critic=lk.flatten_critic(st.critic, h),
+            actor_target=lk.flatten_actor(st.actor_target, h),
+            critic_target=lk.flatten_critic(st.critic_target, h),
+            actor_opt=(st.actor_opt[0]._replace(
+                mu=lk.flatten_actor(st.actor_opt[0].mu, h),
+                nu=lk.flatten_actor(st.actor_opt[0].nu, h)),
+            ) + tuple(st.actor_opt[1:]),
+            critic_opt=(st.critic_opt[0]._replace(
+                mu=lk.flatten_critic(st.critic_opt[0].mu, h),
+                nu=lk.flatten_critic(st.critic_opt[0].nu, h)),
+            ) + tuple(st.critic_opt[1:]),
+        )
+
+    def _actor_tree(self, actor_params):
+        """Actor params as the flax tree (unflattens kernel layout)."""
+        if isinstance(actor_params, (list, tuple)):
+            from ..ops import learner_kernel as lk
+            return lk.unflatten_actor(actor_params,
+                                      tuple(self.cfg.hidden))
+        return actor_params
 
     @property
     def local_batch_size(self) -> int:
@@ -174,8 +257,9 @@ class DDPG:
 
     # --- acting -------------------------------------------------------------
     def act(self, actor_params, obs, noise=None):
-        """Deterministic action, plus OU exploration noise if given."""
-        a = self.actor_net.apply(actor_params, obs)
+        """Deterministic action, plus OU exploration noise if given.
+        Accepts tree or kernel-flat actor params."""
+        a = self.actor_net.apply(self._actor_tree(actor_params), obs)
         if noise is not None:
             a = jnp.clip(a + noise, -1.0, 1.0)
         return a
@@ -295,30 +379,23 @@ class DDPG:
             s = s._replace(rng=rng)
             keys = jax.random.split(k, c.updates_per_step)
             batches = presample(s, keys)
-            groups = (lk.flatten_actor(s.actor, h),
-                      lk.flatten_critic(s.critic, h),
-                      lk.flatten_actor(s.actor_target, h),
-                      lk.flatten_critic(s.critic_target, h),
-                      lk.flatten_actor(s.actor_opt[0].mu, h),
-                      lk.flatten_actor(s.actor_opt[0].nu, h),
-                      lk.flatten_critic(s.critic_opt[0].mu, h),
-                      lk.flatten_critic(s.critic_opt[0].nu, h))
+            # The state already holds the kernel's flat operand lists —
+            # zero relayout ops on the hot path.
+            groups = (s.actor, s.critic, s.actor_target, s.critic_target,
+                      s.actor_opt[0].mu, s.actor_opt[0].nu,
+                      s.critic_opt[0].mu, s.critic_opt[0].nu)
             t0 = s.actor_opt[0].count
             new, closs, aloss = run(groups, batches, t0)
             count = t0 + jnp.int32(c.updates_per_step)
             a_opt = (s.actor_opt[0]._replace(
-                count=count, mu=lk.unflatten_actor(new[4], h),
-                nu=lk.unflatten_actor(new[5], h)),) + tuple(s.actor_opt[1:])
+                count=count, mu=new[4], nu=new[5]),
+            ) + tuple(s.actor_opt[1:])
             c_opt = (s.critic_opt[0]._replace(
-                count=count, mu=lk.unflatten_critic(new[6], h),
-                nu=lk.unflatten_critic(new[7], h)),) + tuple(
-                    s.critic_opt[1:])
-            s = s._replace(
-                actor=lk.unflatten_actor(new[0], h),
-                critic=lk.unflatten_critic(new[1], h),
-                actor_target=lk.unflatten_actor(new[2], h),
-                critic_target=lk.unflatten_critic(new[3], h),
-                actor_opt=a_opt, critic_opt=c_opt)
+                count=count, mu=new[6], nu=new[7]),
+            ) + tuple(s.critic_opt[1:])
+            s = s._replace(actor=new[0], critic=new[1],
+                           actor_target=new[2], critic_target=new[3],
+                           actor_opt=a_opt, critic_opt=c_opt)
             return s, {"critic_loss": jnp.mean(closs),
                        "actor_loss": jnp.mean(aloss)}
 
@@ -339,8 +416,7 @@ class DDPG:
 
     # --- the fused actor-learner step ---------------------------------------
     def train_step(self, st: DDPGState, capture: bool = False,
-                   fused: bool = False,
-                   kernel_learner: bool = False) -> tuple[DDPGState, dict]:
+                   fused: bool = False) -> tuple[DDPGState, dict]:
         """rollout_steps env-steps + replay insert + updates_per_step
         gradient updates, as one jit-able program.
 
@@ -349,10 +425,12 @@ class DDPG:
         numerically twinned (tests/test_policy_rollout.py), an order of
         magnitude faster on TPU (BASELINE.md round-2 throughput table).
 
-        kernel_learner=True runs the whole K-update learner phase as ONE
-        Pallas kernel (ops/learner_kernel.py) instead of the XLA update
-        scan — same presampled batches bitwise, same Adam/Polyak
-        semantics, zero intermediate HBM traffic.
+        When the agent is in kernel-learner mode (cfg.learner), the
+        whole K-update learner phase runs as ONE Pallas kernel
+        (ops/learner_kernel.py) instead of the XLA update scan — same
+        presampled batches bitwise, same Adam/Polyak semantics, zero
+        intermediate HBM traffic, on a state that keeps the learner
+        groups in the kernel's flat operand layout.
         """
         c = self.cfg
         rng = st.rng
@@ -366,10 +444,16 @@ class DDPG:
                 st.env_state, st.obs, st.noise, st.actor, st.env_steps,
                 sigma)
         else:
+            # Hoist the (possibly kernel-flat) actor params to a tree
+            # once, outside the scan body.
+            actor_tree = self._actor_tree(st.actor)
+
             def env_body(carry, t):
                 env_state, obs, noise = carry
                 noise = self._ou_step(noise, env_state.env_seed, t, sigma)
-                action = self.act(st.actor, obs, noise)
+                action = jnp.clip(
+                    self.actor_net.apply(actor_tree, obs) + noise,
+                    -1.0, 1.0)
                 env_state, next_obs, reward, done, _ = self.env.step(
                     env_state, action)
                 # Reset the OU state of envs that finished (fresh episode).
@@ -386,11 +470,7 @@ class DDPG:
                          noise=noise, rng=rng, env_steps=env_steps)
 
         ready = env_steps >= c.warmup_env_steps
-        if kernel_learner:
-            if not self.kernel_learner_ok():
-                raise ValueError("config shape not coverable by the "
-                                 "fused update kernel (see "
-                                 "DDPG.kernel_learner_ok)")
+        if self.kernel_mode:
             st, losses = self._kernel_update_phase(st, ready)
         else:
             st, losses = gated_update_scan(
@@ -430,30 +510,20 @@ class DDPG:
         from ..ops.policy_rollout import fusable
         return fusable(self.env, tuple(self.cfg.hidden))
 
-    def make_train_step(self, capture: bool = False, fused=None,
-                        kernel_learner=None):
+    def make_train_step(self, capture: bool = False, fused=None):
         """Jitted train_step with donated state. capture=True additionally
         returns the rollout chunk in metrics["traj"] (time-major
         (obs, action, reward, done)) for the event-log sink. fused=None
         auto-selects the Pallas actor-rollout kernel on TPU when the
         shape is coverable (single-device or per-shard batches only —
         under the SPMD partitioner a pallas_call cannot be re-sharded).
-        kernel_learner=None resolves cfg.learner: "kernel" forces the
-        fused update-phase kernel, "auto" enables it on a single TPU
-        device when DDPG.kernel_learner_ok() holds."""
+        The learner implementation was resolved at construction
+        (cfg.learner / self.kernel_mode)."""
         if fused is None:
             fused = (self.fusable()
                      and jax.default_backend() == "tpu"
                      and (self.dist_axis is not None
                           or len(jax.devices()) == 1))
-        if kernel_learner is None:
-            kernel_learner = (
-                self.cfg.learner == "kernel"
-                or (self.cfg.learner == "auto"
-                    and self.kernel_learner_ok()
-                    and jax.default_backend() == "tpu"
-                    and len(jax.devices()) == 1))
         return jax.jit(functools.partial(self.train_step, capture=capture,
-                                         fused=fused,
-                                         kernel_learner=kernel_learner),
+                                         fused=fused),
                        donate_argnums=(0,))

@@ -139,6 +139,11 @@ class CheckpointManager:
                 _to_pytree(state, self._exclude)))
         return bool(saved)
 
+    def should_save(self, step: int) -> bool:
+        """Whether the interval policy would save at `step` — lets the
+        caller skip state-layout conversion work on non-saving calls."""
+        return bool(self._mgr.should_save(step))
+
     def latest_step(self):
         return self._mgr.latest_step()
 

@@ -353,14 +353,24 @@ def critic_shapes(hidden, obs_dim: int, action_dim: int = 2):
 
 def _vec_row(v, width: int):
     """(h,) vector -> zero-padded (1, width) row."""
+    if v.shape[0] == width:
+        return v[None, :].astype(jnp.float32)
     return jnp.zeros((1, width), jnp.float32).at[0, :v.shape[0]].set(v)
 
 
-def _pack_rows(triples, n_layers: int, width: int):
-    rows = [r for triple in triples for r in triple]
-    rows += [jnp.zeros((1, width), jnp.float32)] * (
-        _rows_height(n_layers) - 3 * n_layers)
-    return jnp.concatenate(rows, axis=0)
+def _pack_rows(vecs, n_layers: int, width: int):
+    """Pack per-layer (b, scale, bias) vectors into the (R, width) rows
+    buffer. Uniform widths (the production case) take the 2-op path —
+    one stack, one sublane pad — since this runs every train step."""
+    if all(v.shape[0] == width for v in vecs):
+        rows = jnp.stack(vecs, axis=0).astype(jnp.float32)
+    else:
+        rows = jnp.concatenate([_vec_row(v, width) for v in vecs], axis=0)
+    pad = _rows_height(n_layers) - 3 * n_layers
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad, width), jnp.float32)], axis=0)
+    return rows
 
 
 def _head_ops(kernel, bias):
@@ -376,15 +386,14 @@ def flatten_actor(params, hidden):
     operand list [W0..W_{n-1}, WhT, rows, bh]."""
     torso = params["params"]["_Torso_0"]
     wm = max(hidden)
-    ws, triples = [], []
+    ws, vecs = [], []
     for i, _ in enumerate(hidden):
         d, ln = torso[f"Dense_{i}"], torso[f"LayerNorm_{i}"]
         ws.append(jnp.asarray(d["kernel"], jnp.float32))
-        triples.append((_vec_row(d["bias"], wm), _vec_row(ln["scale"], wm),
-                        _vec_row(ln["bias"], wm)))
+        vecs += [d["bias"], ln["scale"], ln["bias"]]
     head = params["params"]["Dense_0"]
     wh, bh = _head_ops(head["kernel"], head["bias"])
-    return ws + [wh, _pack_rows(triples, len(hidden), wm), bh]
+    return ws + [wh, _pack_rows(vecs, len(hidden), wm), bh]
 
 
 def unflatten_actor(flat, hidden, action_dim: int = 2):
@@ -414,16 +423,15 @@ def flatten_critic(params, hidden):
     w1a = jnp.zeros((8, k1.shape[1]), jnp.float32).at[
         :k1.shape[0] - h0].set(k1[h0:])
     ws = [jnp.asarray(p["Dense_0"]["kernel"], jnp.float32), k1[:h0], w1a]
-    triples = []
+    vecs = []
     for i, _ in enumerate(hidden):
         d, ln = p[f"Dense_{i}"], p[f"LayerNorm_{i}"]
         if i >= 2:
             ws.append(jnp.asarray(d["kernel"], jnp.float32))
-        triples.append((_vec_row(d["bias"], wm), _vec_row(ln["scale"], wm),
-                        _vec_row(ln["bias"], wm)))
+        vecs += [d["bias"], ln["scale"], ln["bias"]]
     head = p[f"Dense_{len(hidden)}"]
     wh, bh = _head_ops(head["kernel"], head["bias"])
-    return ws + [wh, _pack_rows(triples, len(hidden), wm), bh]
+    return ws + [wh, _pack_rows(vecs, len(hidden), wm), bh]
 
 
 def unflatten_critic(flat, hidden, action_dim: int = 2):

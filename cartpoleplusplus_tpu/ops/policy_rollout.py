@@ -241,7 +241,13 @@ def _flatten_actor_params(params, hidden):
     Returns (layers_flat, w_out (8, H), b_out (8, 1)) with every weight
     transposed for h' = W^T h and biases/LN params as (H, 1) columns.
     The tanh head is zero-padded from 2 to 8 rows (f32 sublane tile).
+
+    Also accepts the batch-major flat operand LIST kept by kernel-mode
+    DDPG states (ops/learner_kernel.py layout) — same op count either
+    way, so the fused-learner agent pays nothing extra here.
     """
+    if isinstance(params, (list, tuple)):
+        return _flatten_actor_bm(params, hidden)
     torso = params["params"]["_Torso_0"]
     flat = []
     for i, _ in enumerate(hidden):
@@ -254,6 +260,20 @@ def _flatten_actor_params(params, hidden):
     w_out = jnp.zeros((8, w.shape[1]), jnp.float32).at[:2].set(w)
     b_out = jnp.zeros((8, 1), jnp.float32).at[:2].set(b)
     return flat, w_out, b_out
+
+
+def _flatten_actor_bm(flat, hidden):
+    """learner_kernel batch-major actor operands -> this kernel's
+    feature-major operands. flat = [W0..W_{n-1} (F_in, H), WhT (8, H),
+    rows (R, Hmax) packing (b, ln_scale, ln_bias) per layer, bh (1, 8)].
+    The head is already in (8, H) transposed zero-padded form."""
+    ws, wh, rows, bh = flat[:-3], flat[-3], flat[-2], flat[-1]
+    out = []
+    for i, h in enumerate(hidden):
+        out.append(jnp.transpose(ws[i]))
+        for j in range(3):
+            out.append(jnp.transpose(rows[3 * i + j:3 * i + j + 1, :h]))
+    return out, wh, jnp.transpose(bh)
 
 
 def fusable(env, hidden) -> bool:

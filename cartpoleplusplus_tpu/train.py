@@ -140,6 +140,14 @@ def main(argv=None) -> int:
 
     mgr = None
     start_call = 0
+    # Checkpoints always hold the CANONICAL flax-tree layout; agents
+    # whose native training layout differs (DDPG's kernel-learner mode
+    # keeps flat kernel operands) convert at the save/restore boundary,
+    # so checkpoints stay interchangeable across learner modes and
+    # backends. Conversions run under jit: ~100 tiny relayout ops as one
+    # dispatch instead of ~100 tunnel round-trips.
+    to_tree = jax.jit(getattr(agent, "state_to_tree", lambda s: s))
+    from_tree = jax.jit(getattr(agent, "state_from_tree", lambda s: s))
     if run.ckpt_dir:
         from .ckpt import CheckpointManager
         mgr = CheckpointManager(
@@ -147,7 +155,7 @@ def main(argv=None) -> int:
             exclude=() if run.ckpt_full else ("replay",))
         latest = mgr.latest_step()
         if latest is not None:
-            state = mgr.restore(state, latest)
+            state = from_tree(mgr.restore(to_tree(state), latest))
             # Resume where the run left off: the checkpoint step IS the
             # train-call index, so the loop continues at latest + 1 (and
             # orbax's skip-older-steps save policy lines up).
@@ -265,8 +273,8 @@ def main(argv=None) -> int:
                              np.asarray(act_t[:, :log_envs]),
                              np.asarray(rew_t[:, :log_envs]),
                              np.asarray(done_t[:, :log_envs]))
-        if mgr is not None:
-            mgr.save(i, state)
+        if mgr is not None and mgr.should_save(i):
+            mgr.save(i, to_tree(state))
         if (i + 1) % run.log_interval == 0 or i == n_calls - 1:
             m = {k: float(np.asarray(v)) for k, v in metrics.items()}
             rate = (run.num_envs * steps_per_call * (i + 1 - start_call)

@@ -107,6 +107,36 @@ def test_train_main_dqn_with_ckpt_and_eventlog(tmp_path, capsys):
     assert lines2 and lines2[-1]["env_steps"] == 16.0
 
 
+def test_ddpg_kernel_learner_cli_and_cross_layout_ckpt(tmp_path, capsys):
+    """--ddpg.learner kernel trains through the fused update-phase
+    kernel (interpret on CPU) on a state kept in the kernel's flat
+    layout; checkpoints hold the CANONICAL tree layout, so an XLA-mode
+    --eval-only restores the same weights (cross-layout round trip)."""
+    ck = tmp_path / "ck"
+    base = ["--agent", "ddpg", "--num-envs", "16",
+            "--total-env-steps", "8", "--log-interval", "1",
+            "--seed", "3", "--ckpt-dir", str(ck),
+            "--ddpg.hidden", "16", "16", "--ddpg.rollout-steps", "2",
+            "--ddpg.updates-per-step", "2", "--ddpg.batch-size", "16",
+            "--ddpg.learner-block", "16",
+            "--ddpg.replay-capacity-per-env", "8",
+            "--ddpg.warmup-env-steps", "0"]
+    rc = main(base + ["--ddpg.learner", "kernel"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert np.isfinite(lines[-1]["critic_loss"])
+
+    evals = []
+    for learner in ("xla", "kernel"):
+        rc = main(base + ["--ddpg.learner", learner, "--eval-only",
+                          "--eval-steps", "16"])
+        assert rc == 0
+        out = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        evals.append(out[0]["reward_mean"])
+    # Both learner modes restore the identical canonical weights.
+    assert evals[0] == evals[1]
+
+
 def test_train_main_shardmap_learner(capsys):
     """--learner shardmap drives the explicit-communication path on the
     virtual 8-device mesh."""

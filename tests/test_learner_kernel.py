@@ -153,37 +153,54 @@ def test_update_math_block_split_invariance():
 
 
 def test_train_step_kernel_learner_matches_xla_learner():
-    """Full train_step parity: the kernel-learner path must reproduce
-    the XLA update scan (same rng splits -> bitwise-identical presampled
-    batches; differences bounded by summation order only)."""
+    """Full train_step parity: a kernel-mode agent (flat-layout state,
+    fused update kernel) must reproduce the XLA agent's update scan —
+    same rng splits -> bitwise-identical presampled batches; differences
+    bounded by summation order only. Also covers the flat<->tree state
+    layout converters the checkpoint boundary uses."""
+    cfg = dict(hidden=(32, 32), batch_size=64, rollout_steps=8,
+               updates_per_step=2, warmup_env_steps=8, learner_block=32)
     env = CartPole3D(continuous_params(), num_envs=64)
-    cfg = DDPGConfig(hidden=(32, 32), batch_size=64, rollout_steps=8,
-                     updates_per_step=2, warmup_env_steps=8,
-                     learner_block=32)
-    agent = DDPG(env, cfg)
-    st_x, st_k = agent.init(0), agent.init(0)
-    ts_x = agent.make_train_step(fused=False, kernel_learner=False)
-    ts_k = agent.make_train_step(fused=False, kernel_learner=True)
+    ag_x = DDPG(env, DDPGConfig(learner="xla", **cfg))
+    ag_k = DDPG(env, DDPGConfig(learner="kernel", **cfg))
+    assert not ag_x.kernel_mode and ag_k.kernel_mode
+    st_x, st_k = ag_x.init(0), ag_k.init(0)
+    assert isinstance(st_k.actor, (list, tuple))  # kernel-flat layout
+    # Same weights at init: flat state is a relayout of the tree state.
+    _assert_tree_close(ag_k.state_to_tree(st_k).actor, st_x.actor)
+    ts_x = ag_x.make_train_step(fused=False)
+    ts_k = ag_k.make_train_step(fused=False)
     for _ in range(4):
         st_x, m_x = ts_x(st_x)
         st_k, m_k = ts_k(st_k)
+    tree_k = ag_k.state_to_tree(st_k)
     tol = dict(rtol=2e-4, atol=1e-5)
     for name in ("actor", "critic", "actor_target", "critic_target"):
-        _assert_tree_close(getattr(st_k, name), getattr(st_x, name),
+        _assert_tree_close(getattr(tree_k, name), getattr(st_x, name),
                            **tol)
     assert int(st_k.actor_opt[0].count) == int(st_x.actor_opt[0].count)
+    _assert_tree_close(tree_k.actor_opt[0].mu, st_x.actor_opt[0].mu,
+                       rtol=2e-4, atol=1e-7)
     for key in ("critic_loss", "actor_loss", "reward_mean", "done_frac"):
         np.testing.assert_allclose(np.asarray(m_k[key]),
                                    np.asarray(m_x[key]), **tol)
+    # Layout roundtrip: tree -> flat -> tree is exact.
+    rt = ag_k.state_to_tree(ag_k.state_from_tree(tree_k))
+    _assert_tree_close(rt.actor, tree_k.actor)
+    _assert_tree_close(rt.critic_opt[0].nu, tree_k.critic_opt[0].nu)
+    # Eval works directly on the flat-layout state.
+    stats = jax.jit(lambda s: ag_k.evaluate(s, num_steps=16))(st_k)
+    assert np.isfinite(float(stats["reward_mean"]))
 
 
 def test_kernel_learner_rejects_uncovered_config():
     env = CartPole3D(continuous_params(), num_envs=8)
+    with pytest.raises(ValueError):
+        DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
+                             actor_grad_critic="pre", learner="kernel"))
     agent = DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
                                  actor_grad_critic="pre"))
-    assert not agent.kernel_learner_ok()
-    with pytest.raises(ValueError):
-        agent.train_step(agent.init(0), kernel_learner=True)
+    assert not agent.kernel_learner_ok() and not agent.kernel_mode
 
 
 def test_kernel_interpret_matches_math_twin():
