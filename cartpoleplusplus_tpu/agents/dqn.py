@@ -51,6 +51,14 @@ class DQNConfig:
     double_dqn: bool = True
     dtype: str = "float32"
     sample: str = "column"           # replay sampling: column (fast) | uniform
+    # Learner implementation: "xla" (the upd_body scan), "kernel" (the
+    # whole K-update phase as ONE Pallas kernel with the Q/target/Adam
+    # state VMEM-resident — ops/learner_kernel.py), or "auto" (kernel on
+    # a single TPU device when the config shape is covered). Kernel-mode
+    # states keep the 4 learner groups in the kernel's flat operand
+    # layout; checkpoints are converted to canonical trees (train.py).
+    learner: str = "auto"
+    learner_block: int = 512         # kernel batch-block (VMEM budget)
 
 
 class DQNState(NamedTuple):
@@ -90,16 +98,86 @@ class DQN:
             capacity_per_env=config.replay_capacity_per_env,
             obs_shape=env.obs_shape, quantize_obs=pixels, discrete=True)
         self.tx = optax.adam(config.lr)
+        if config.learner == "kernel":
+            if not self.kernel_learner_ok():
+                raise ValueError("config shape not coverable by the "
+                                 "fused update kernel (see "
+                                 "DQN.kernel_learner_ok)")
+            self.kernel_mode = True
+        elif config.learner == "auto":
+            self.kernel_mode = (self.kernel_learner_ok()
+                                and jax.default_backend() == "tpu"
+                                and len(jax.devices()) == 1)
+        elif config.learner == "xla":
+            self.kernel_mode = False
+        else:
+            raise ValueError(f"unknown learner {config.learner!r}")
+
+    def kernel_learner_ok(self) -> bool:
+        """Whether ops/learner_kernel.py covers this config (state obs,
+        default semantics, f32, presample-able replay, no shard_map axis
+        — gradients cannot pmean inside a pallas_call)."""
+        c = self.cfg
+        from .common import local_batch
+        return (self.env.obs_mode != "pixels"
+                and not self.replay.quantize_obs
+                and len(c.hidden) >= 1
+                and c.dtype == "float32"
+                and self.dist_axis is None
+                and local_batch(c.batch_size, self.num_shards) % 8 == 0)
 
     def init(self, key) -> DQNState:
         k_q, k_env, k_run = jax.random.split(as_key(key), 3)
         obs0 = jnp.zeros((1,) + self.env.obs_shape, jnp.float32)
         q = self.q_net.init(k_q, obs0)
         env_state, obs = self.env.reset(k_env)
-        return DQNState(
+        st = DQNState(
             q=q, q_target=jax.tree.map(jnp.copy, q), opt=self.tx.init(q),
             replay=self.replay.init(), env_state=env_state, obs=obs,
             rng=k_run, env_steps=jnp.int32(0))
+        return self.state_from_tree(st) if self.kernel_mode else st
+
+    # --- kernel-mode state layout (see agents/ddpg.py for rationale) ----
+    def state_to_tree(self, st: DQNState) -> DQNState:
+        """Kernel-layout state -> canonical flax-tree state (no-op for
+        tree-mode states). The canonical layout is what checkpoints
+        hold (train.py converts at the save/restore boundary)."""
+        if not isinstance(st.q, (list, tuple)):
+            return st
+        from ..ops import learner_kernel as lk
+
+        h = tuple(self.cfg.hidden)
+        na = self.env.num_actions
+        return st._replace(
+            q=lk.unflatten_actor(st.q, h, action_dim=na),
+            q_target=lk.unflatten_actor(st.q_target, h, action_dim=na),
+            opt=(st.opt[0]._replace(
+                mu=lk.unflatten_actor(st.opt[0].mu, h, action_dim=na),
+                nu=lk.unflatten_actor(st.opt[0].nu, h, action_dim=na)),
+            ) + tuple(st.opt[1:]))
+
+    def state_from_tree(self, st: DQNState) -> DQNState:
+        """Canonical tree state -> this agent's native layout."""
+        if not self.kernel_mode or isinstance(st.q, (list, tuple)):
+            return st
+        from ..ops import learner_kernel as lk
+
+        h = tuple(self.cfg.hidden)
+        return st._replace(
+            q=lk.flatten_actor(st.q, h),
+            q_target=lk.flatten_actor(st.q_target, h),
+            opt=(st.opt[0]._replace(
+                mu=lk.flatten_actor(st.opt[0].mu, h),
+                nu=lk.flatten_actor(st.opt[0].nu, h)),
+            ) + tuple(st.opt[1:]))
+
+    def _q_tree(self, q_params):
+        """Q params as the flax tree (unflattens kernel layout)."""
+        if isinstance(q_params, (list, tuple)):
+            from ..ops import learner_kernel as lk
+            return lk.unflatten_actor(q_params, tuple(self.cfg.hidden),
+                                      action_dim=self.env.num_actions)
+        return q_params
 
     def epsilon(self, env_steps):
         c = self.cfg
@@ -112,7 +190,7 @@ class DQN:
     def act(self, q_params, obs, env_seed, t, eps):
         """Epsilon-greedy batched action; exploration is a counter-PRNG
         function of (per-env seed, global step) — sharding-independent."""
-        qv = self.q_net.apply(q_params, obs)
+        qv = self.q_net.apply(self._q_tree(q_params), obs)
         greedy = jnp.argmax(qv, axis=-1).astype(jnp.int32)
         rand = (hash_words(env_seed, t, TAG_EPS_ACT)
                 % jnp.uint32(self.env.num_actions)).astype(jnp.int32)
@@ -121,8 +199,9 @@ class DQN:
 
     def greedy_policy(self, st: DQNState):
         """Greedy policy fn(obs) -> action (epsilon = 0)."""
-        return lambda o: jnp.argmax(self.q_net.apply(st.q, o), -1).astype(
-            jnp.int32)
+        q_tree = self._q_tree(st.q)
+        return lambda o: jnp.argmax(self.q_net.apply(q_tree, o),
+                                    -1).astype(jnp.int32)
 
     def evaluate(self, st: DQNState, num_steps: int = 200, seed: int = 0):
         """Greedy-policy evaluation (epsilon = 0): episode stats."""
@@ -163,8 +242,10 @@ class DQN:
             env_state, obs, traj = run(st.env_state, st.obs, st.q,
                                        st.env_steps, eps)
         else:
+            q_tree = self._q_tree(st.q)
             env_state, obs, traj = run_rollout(
-                self.env, lambda o, t: self.act(st.q, o, env_seed, t, eps),
+                self.env,
+                lambda o, t: self.act(q_tree, o, env_seed, t, eps),
                 st.env_state, st.obs,
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
@@ -187,11 +268,16 @@ class DQN:
                            q_target=polyak(s.q_target, q, c.tau))
             return s, loss
 
-        st, loss = gated_update_scan(
-            st, upd_body, c.updates_per_step,
-            env_steps >= c.warmup_env_steps, jnp.float32(0.0),
-            presample=replay_presample(self.replay, c.sample, c.batch_size,
-                                       self.num_shards, self.dist_axis))
+        if self.kernel_mode:
+            st, loss = self._kernel_update_phase(
+                st, env_steps >= c.warmup_env_steps)
+        else:
+            st, loss = gated_update_scan(
+                st, upd_body, c.updates_per_step,
+                env_steps >= c.warmup_env_steps, jnp.float32(0.0),
+                presample=replay_presample(self.replay, c.sample,
+                                           c.batch_size, self.num_shards,
+                                           self.dist_axis))
 
         metrics_extra = {"traj": traj} if capture else {}
         reward_mean = jnp.mean(traj[2])
@@ -207,6 +293,42 @@ class DQN:
             "done_frac": done_frac,
             "env_steps": env_steps,
         }
+
+    def _kernel_update_phase(self, st: DQNState, ready):
+        """The warmup-gated K-update learner phase through the fused
+        Pallas kernel — the op-stream-free twin of gated_update_scan +
+        upd_body (same rng splits -> bitwise-identical presampled
+        batches; ops/learner_kernel.py)."""
+        from ..ops import learner_kernel as lk
+
+        c = self.cfg
+        blk = min(c.learner_block, c.batch_size)
+        while c.batch_size % blk:
+            blk //= 2
+        run = lk.dqn_update_phase(
+            tuple(c.hidden), self.env.obs_shape[0], c.updates_per_step,
+            c.batch_size, lr=c.lr, gamma=c.gamma, tau=c.tau,
+            num_actions=self.env.num_actions, double_dqn=c.double_dqn,
+            block_size=blk, interpret=jax.default_backend() != "tpu")
+        presample = replay_presample(self.replay, c.sample, c.batch_size,
+                                     self.num_shards, self.dist_axis)
+
+        def do(s):
+            rng, k = jax.random.split(s.rng)
+            s = s._replace(rng=rng)
+            keys = jax.random.split(k, c.updates_per_step)
+            batches = presample(s, keys)
+            groups = (s.q, s.q_target, s.opt[0].mu, s.opt[0].nu)
+            t0 = s.opt[0].count
+            new, loss = run(groups, batches, t0)
+            opt = (s.opt[0]._replace(
+                count=t0 + jnp.int32(c.updates_per_step),
+                mu=new[2], nu=new[3]),) + tuple(s.opt[1:])
+            s = s._replace(q=new[0], q_target=new[1], opt=opt)
+            return s, jnp.mean(loss)
+
+        return jax.lax.cond(ready, do, lambda s: (s, jnp.float32(0.0)),
+                            st)
 
     def fusable(self) -> bool:
         """Whether the Pallas Q-in-the-loop rollout covers this

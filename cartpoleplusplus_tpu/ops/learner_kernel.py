@@ -144,11 +144,13 @@ def _lane0_mask(b: int):
             ).astype(jnp.float32)
 
 
-# --- actor: torso + tanh head (lanes 0..1 of the padded 8) ------------------
+# --- plain MLP (torso + linear 8-row padded head): the ActorMLP and
+# --- QNetMLP body (identical flax tree structure, flatten_actor layout) -----
 
-def actor_fwd(obs, flat, hidden):
+def mlp_fwd(obs, flat, hidden):
     """flat = [W0..W_{n-1}, WhT (8, H_last), rows (R, Hmax), bh (1, 8)].
-    Returns (a8 (B, 8) with lanes >= action_dim exactly 0, residue)."""
+    Returns (pre (B, 8) head pre-activations with pad lanes exactly 0,
+    residue)."""
     ws, wh, rows, bh = flat[:-3], flat[-3], flat[-2], flat[-1]
     h, saved = obs, []
     for i, hd in enumerate(hidden):
@@ -157,16 +159,14 @@ def actor_fwd(obs, flat, hidden):
         h, _, _, _ = _ln_relu(z, _row(rows, 3 * i + 1, hd),
                               _row(rows, 3 * i + 2, hd))
     pre = _dot_nt(h, wh) + bh
-    a = jnp.tanh(pre)
-    return a, (saved, h, a)
+    return pre, (saved, h)
 
 
-def actor_bwd(da8, flat, hidden, residue):
-    """Grads for upstream da8 (B, 8; pad lanes zero). Returns a flat
-    grad list mirroring `flat`."""
+def mlp_bwd(dpre, flat, hidden, residue):
+    """Grads for upstream d(pre-activation) (B, 8; pad lanes zero).
+    Returns a flat grad list mirroring `flat`."""
     ws, wh, rows, bh = flat[:-3], flat[-3], flat[-2], flat[-1]
-    saved, h_last, a = residue
-    dpre = da8 * (1.0 - a * a)
+    saved, h_last = residue
     dwh = _dot_tn(dpre, h_last)
     dbh = jnp.sum(dpre, axis=0, keepdims=True)
     dh = _dot(dpre, wh)
@@ -188,6 +188,21 @@ def actor_bwd(da8, flat, hidden, residue):
     if pad:
         drows += [jnp.zeros((1, rows.shape[1]), jnp.float32)] * pad
     return dws + [dwh, jnp.concatenate(drows, axis=0), dbh]
+
+
+# --- actor: MLP + tanh head (lanes 0..1 of the padded 8) --------------------
+
+def actor_fwd(obs, flat, hidden):
+    """Returns (a8 (B, 8) with lanes >= action_dim exactly 0, residue)."""
+    pre, res = mlp_fwd(obs, flat, hidden)
+    a = jnp.tanh(pre)
+    return a, res + (a,)
+
+
+def actor_bwd(da8, flat, hidden, residue):
+    """Grads for upstream da8 (B, 8; pad lanes zero)."""
+    saved, h_last, a = residue
+    return mlp_bwd(da8 * (1.0 - a * a), flat, hidden, (saved, h_last))
 
 
 # --- critic: W0(obs) -> split-matmul action inject -> torso -> head ---------
@@ -702,5 +717,225 @@ def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
             pos += sz
         losses = out[pos]
         return tuple(new_groups), losses[:, 0, 0], losses[:, 1, 0]
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# DQN: the same fused-update-phase treatment for the Q-learner.
+#
+# Reference counterpart: keras-rl DQNAgent's per-step TD update
+# (SURVEY.md §3.4; reference mount empty this session). Semantics here
+# are exactly agents/dqn.py::upd_body with presampled batches: per
+# update k — (double-)DQN Huber TD step (Adam) + Polyak target — K
+# times sequentially, as ONE kernel over grid (K, NB). QNetMLP has the
+# identical tree structure to ActorMLP, so the flatten_actor layout and
+# mlp_fwd/mlp_bwd apply verbatim; the discrete action gather/argmax
+# become lane-mask algebra (head pad lanes are exactly zero, so argmax
+# masks them to -inf; one-hots come from lane iota comparisons with
+# jnp.argmax's first-max tie-break reproduced via a min-index reduce).
+# --------------------------------------------------------------------------
+
+_HUBER_DELTA = 1.0   # optax.huber_loss default
+
+
+def dqn_phase_block(q, q_target, obs, nobs, act, rew, done, gamma: float,
+                    inv_batch: float, hidden, num_actions: int,
+                    double_dqn: bool):
+    """TD gradient contribution of one batch block. act is (B, 1) i32,
+    rew/done (B, 1) f32. Returns (flat grads, loss contribution)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rew.shape[0], 8), 1)
+    valid = lanes < num_actions
+    qt8, _ = mlp_fwd(nobs, q_target, hidden)
+    sel = mlp_fwd(nobs, q, hidden)[0] if double_dqn else qt8
+    selm = jnp.where(valid, sel, np.float32(-3.4e38))
+    amax = jnp.max(selm, axis=1, keepdims=True)
+    first = jnp.min(jnp.where(selm >= amax, lanes, 99), axis=1,
+                    keepdims=True)
+    q_next = jnp.sum(qt8 * (lanes == first).astype(jnp.float32), axis=1,
+                     keepdims=True)
+    y = rew + np.float32(gamma) * (1.0 - done) * q_next
+    q8, res = mlp_fwd(obs, q, hidden)
+    onehot_a = (lanes == act).astype(jnp.float32)
+    q_sa = jnp.sum(q8 * onehot_a, axis=1, keepdims=True)
+    td = q_sa - y
+    d = np.float32(_HUBER_DELTA)
+    dq8 = (jnp.clip(td, -d, d) * np.float32(inv_batch)) * onehot_a
+    grads = mlp_bwd(dq8, q, hidden, res)
+    abs_td = jnp.abs(td)
+    hub = jnp.where(abs_td <= d, 0.5 * td * td,
+                    d * (abs_td - 0.5 * d))
+    return grads, np.float32(inv_batch) * jnp.sum(hub)
+
+
+def dqn_update_phase_math(q, q_target, m, v, batches, t0, hidden, *,
+                          lr, gamma, tau, num_actions: int = 5,
+                          double_dqn: bool = True, num_blocks: int = 1):
+    """K sequential DQN updates on flat operand lists — the kernel's
+    componentwise jnp twin. batches: (obs (K, Bm, F), action (K, Bm)
+    i32, reward (K, Bm), next_obs (K, Bm, F), done (K, Bm)). Returns
+    (q, q_target, m, v, loss (K,))."""
+    k_updates, bm = batches[0].shape[0], batches[0].shape[1]
+    blk = bm // num_blocks
+    inv = 1.0 / bm
+    losses = []
+    for k in range(k_updates):
+        obs, act, rew, nobs, done = (x[k] for x in batches)
+        act = act.astype(jnp.int32)[:, None]
+        rew = rew[:, None]
+        done = done.astype(jnp.float32)[:, None]
+        tk = (t0 + k + 1).astype(jnp.float32)
+        g_acc, loss = None, jnp.float32(0.0)
+        for j in range(num_blocks):
+            sl = slice(j * blk, (j + 1) * blk)
+            g, ls = dqn_phase_block(q, q_target, obs[sl], nobs[sl],
+                                    act[sl], rew[sl], done[sl], gamma,
+                                    inv, hidden, num_actions, double_dqn)
+            g_acc = g if g_acc is None else [a + b
+                                             for a, b in zip(g_acc, g)]
+            loss = loss + ls
+        new = [adam_step(p, mm, vv, g, tk, lr)
+               for p, mm, vv, g in zip(q, m, v, g_acc)]
+        q, m, v = ([x[i] for x in new] for i in range(3))
+        q_target = polyak_flat(q_target, q, tau)
+        losses.append(loss)
+    return q, q_target, m, v, jnp.stack(losses)
+
+
+def _dqn_update_kernel(hidden, na: int, nb: int, gamma: float,
+                       tau: float, lr: float, inv_bm: float,
+                       k_updates: int, num_actions: int,
+                       double_dqn: bool, *refs):
+    n_par = 4 * na
+    obs_ref, nobs_ref, act_ref, rew_ref, done_ref = refs[:5]
+    par_in = refs[5:5 + n_par]
+    t0_ref = refs[5 + n_par]
+    outs = refs[6 + n_par:6 + 2 * n_par]
+    losses_ref = refs[6 + 2 * n_par]
+    scratch = refs[7 + 2 * n_par:]
+    par_s = scratch[:n_par]
+    acc = scratch[n_par:n_par + na]
+    loss_s = scratch[n_par + na]
+
+    kk = pl.program_id(0)
+    j = pl.program_id(1)
+    q_s, qt_s, m_s, v_s = (par_s[i * na:(i + 1) * na] for i in range(4))
+
+    @pl.when((kk == 0) & (j == 0))
+    def _init():
+        for dst, src in zip(par_s, par_in):
+            dst[:] = src[:]
+
+    grads, loss = dqn_phase_block(
+        [r[:] for r in q_s], [r[:] for r in qt_s], obs_ref[0],
+        nobs_ref[0], act_ref[0], rew_ref[0], done_ref[0], gamma,
+        inv_bm, hidden, num_actions, double_dqn)
+    tile = jnp.full((1, 128), loss, jnp.float32)
+
+    @pl.when(j == 0)
+    def _first():
+        for dst, g in zip(acc, grads):
+            dst[:] = g
+        loss_s[:] = tile
+
+    @pl.when(j > 0)
+    def _rest():
+        for dst, g in zip(acc, grads):
+            dst[:] = dst[:] + g
+        loss_s[:] = loss_s[:] + tile
+
+    @pl.when(j == nb - 1)
+    def _apply():
+        tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
+        for p, m, v, g in zip(q_s, m_s, v_s, acc):
+            pn, mn, vn = adam_step(p[:], m[:], v[:], g[:], tk, lr)
+            p[:] = pn
+            m[:] = mn
+            v[:] = vn
+        for tr, on in zip(qt_s, q_s):
+            tr[:] = tr[:] + np.float32(tau) * (on[:] - tr[:])
+        losses_ref[0] = jnp.concatenate(
+            [loss_s[:], jnp.zeros((7, 128), jnp.float32)], axis=0)
+
+    @pl.when((kk == k_updates - 1) & (j == nb - 1))
+    def _finalize():
+        for dst, src in zip(outs, par_s):
+            dst[:] = src[:]
+
+
+def dqn_update_phase(hidden, obs_dim: int, k_updates: int,
+                     batch_size: int, *, lr: float, gamma: float,
+                     tau: float, num_actions: int = 5,
+                     double_dqn: bool = True, block_size: int = 512,
+                     interpret: bool = False):
+    """Builder: one pallas_call covering the whole K-update DQN learner
+    phase. Returned fn(groups, batches, t0) -> (groups', loss (K,))
+    with groups = (q, q_target, m, v) flat operand lists (flatten_actor
+    layout — QNetMLP shares ActorMLP's tree structure) and batches the
+    replay_presample output with int32 actions."""
+    hidden = tuple(hidden)
+    a_sh = actor_shapes(hidden, obs_dim)
+    na = len(a_sh)
+    blk = min(block_size, batch_size)
+    if batch_size % blk:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"block {blk}")
+    nb = batch_size // blk
+
+    kernel = functools.partial(_dqn_update_kernel, hidden, na, nb,
+                               gamma, tau, lr, 1.0 / batch_size,
+                               k_updates, num_actions, double_dqn)
+
+    def batch_spec(width):
+        return pl.BlockSpec((1, blk, width), lambda k, j: (k, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def par_spec(shape):
+        return pl.BlockSpec(shape, lambda k, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flat_shapes = a_sh * 4
+    in_specs = (
+        [batch_spec(obs_dim), batch_spec(obs_dim), batch_spec(1),
+         batch_spec(1), batch_spec(1)]
+        + [par_spec(s) for s in flat_shapes]
+        + [pl.BlockSpec((1, 1), lambda k, j: (0, 0),
+                        memory_space=pltpu.SMEM)]
+    )
+    out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32)
+                  for s in flat_shapes]
+                 + [jax.ShapeDtypeStruct((k_updates, 8, 128),
+                                         jnp.float32)])
+    out_specs = ([par_spec(s) for s in flat_shapes]
+                 + [pl.BlockSpec((1, 8, 128), lambda k, j: (k, 0, 0),
+                                 memory_space=pltpu.VMEM)])
+    scratch_shapes = (
+        [pltpu.VMEM(s, jnp.float32) for s in flat_shapes]
+        + [pltpu.VMEM(s, jnp.float32) for s in a_sh]
+        + [pltpu.VMEM((1, 128), jnp.float32)]
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(k_updates, nb),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )
+
+    def run(groups, batches, t0):
+        obs, act, rew, nobs, done = batches
+        k, bm = obs.shape[0], obs.shape[1]
+        args = ([obs, nobs,
+                 act.astype(jnp.int32).reshape(k, bm, 1),
+                 rew.reshape(k, bm, 1),
+                 done.astype(jnp.float32).reshape(k, bm, 1)]
+                + [arr for g in groups for arr in g]
+                + [jnp.asarray(t0, jnp.int32).reshape(1, 1)])
+        out = call(*args)
+        new_groups = tuple(list(out[i * na:(i + 1) * na])
+                           for i in range(4))
+        return new_groups, out[4 * na][:, 0, 0]
 
     return run

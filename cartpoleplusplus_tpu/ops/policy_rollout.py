@@ -577,7 +577,11 @@ def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
 
 def _flatten_q_params(params, hidden):
     """Flax QNetMLP param tree -> feature-major kernel operands (head
-    zero-padded from 5 action rows to the 8-row f32 sublane tile)."""
+    zero-padded from 5 action rows to the 8-row f32 sublane tile).
+    Also accepts kernel-mode DQN's batch-major flat operand list
+    (QNetMLP shares ActorMLP's structure and flatten layout)."""
+    if isinstance(params, (list, tuple)):
+        return _flatten_actor_bm(params, hidden)
     torso = params["params"]["_Torso_0"]
     flat = []
     for i, _ in enumerate(hidden):

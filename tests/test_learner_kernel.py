@@ -234,3 +234,124 @@ def test_kernel_interpret_matches_math_twin():
                                **tol)
     np.testing.assert_allclose(np.asarray(aloss), np.asarray(want[9]),
                                **tol)
+
+
+# --------------------------------------------------------------------------
+# DQN fused update phase
+# --------------------------------------------------------------------------
+
+from cartpoleplusplus_tpu import CartPoleParams
+from cartpoleplusplus_tpu.agents import DQN, DQNConfig
+
+
+def _dqn_agent(**kw):
+    env = CartPole3D(CartPoleParams(), num_envs=8)
+    cfg = DQNConfig(hidden=HIDDEN, batch_size=BM, lr=1e-3, tau=0.05,
+                    updates_per_step=K, **kw)
+    return DQN(env, cfg)
+
+
+def _dqn_batches(key, obs_dim, k=K, bm=BM):
+    ks = jax.random.split(key, 5)
+    obs = jax.random.normal(ks[0], (k, bm, obs_dim)) * 0.3
+    act = jax.random.randint(ks[1], (k, bm), 0, 5)
+    rew = jax.random.uniform(ks[2], (k, bm))
+    nobs = obs + 0.05 * jax.random.normal(ks[3], (k, bm, obs_dim))
+    done = jax.random.bernoulli(ks[4], 0.1, (k, bm))
+    return obs, act, rew, nobs, done
+
+
+@pytest.mark.parametrize("double", [True, False])
+def test_dqn_update_math_matches_xla_update_scan(double):
+    agent = _dqn_agent(double_dqn=double)
+    st = agent.init(0)
+    batches = _dqn_batches(jax.random.PRNGKey(1), agent.env.obs_shape[0])
+
+    # XLA reference: the production upd_body, K times.
+    import optax
+    from cartpoleplusplus_tpu.models import polyak as tree_polyak
+    q, qt, opt = st.q, st.q_target, st.opt
+    losses = []
+    for k in range(K):
+        batch = tuple(x[k] for x in batches)
+
+        def step(q, qt, opt, batch):
+            loss, grad = jax.value_and_grad(agent._loss)(q, qt, batch)
+            upd, opt = agent.tx.update(grad, opt, q)
+            q = optax.apply_updates(q, upd)
+            return q, tree_polyak(qt, q, agent.cfg.tau), opt, loss
+
+        q, qt, opt, loss = jax.jit(step)(q, qt, opt, batch)
+        losses.append(loss)
+
+    h = agent.cfg.hidden
+    f_q = lk.flatten_actor(st.q, h)
+    f_qt = lk.flatten_actor(st.q_target, h)
+    f_m = lk.flatten_actor(st.opt[0].mu, h)
+    f_v = lk.flatten_actor(st.opt[0].nu, h)
+    out = jax.jit(functools.partial(
+        lk.dqn_update_phase_math, hidden=HIDDEN, lr=agent.cfg.lr,
+        gamma=agent.cfg.gamma, tau=agent.cfg.tau,
+        double_dqn=double))(f_q, f_qt, f_m, f_v, batches, st.opt[0].count)
+    tol = dict(rtol=1e-4, atol=2e-5)
+    _assert_tree_close(lk.unflatten_actor(out[0], HIDDEN, action_dim=5),
+                       q, **tol)
+    _assert_tree_close(lk.unflatten_actor(out[1], HIDDEN, action_dim=5),
+                       qt, **tol)
+    np.testing.assert_allclose(np.asarray(out[4]), np.asarray(losses),
+                               **tol)
+
+
+def test_dqn_kernel_interpret_matches_math_twin():
+    agent = _dqn_agent()
+    st = agent.init(0)
+    obs_dim = agent.env.obs_shape[0]
+    batches = _dqn_batches(jax.random.PRNGKey(2), obs_dim)
+    h = agent.cfg.hidden
+    groups = (lk.flatten_actor(st.q, h), lk.flatten_actor(st.q_target, h),
+              lk.flatten_actor(st.opt[0].mu, h),
+              lk.flatten_actor(st.opt[0].nu, h))
+    blk = 32
+    run = lk.dqn_update_phase(HIDDEN, obs_dim, K, BM, lr=agent.cfg.lr,
+                              gamma=agent.cfg.gamma, tau=agent.cfg.tau,
+                              block_size=blk, interpret=True)
+    new_groups, loss = jax.jit(run)(groups, batches, st.opt[0].count)
+    want = jax.jit(functools.partial(
+        lk.dqn_update_phase_math, hidden=HIDDEN, lr=agent.cfg.lr,
+        gamma=agent.cfg.gamma, tau=agent.cfg.tau,
+        num_blocks=BM // blk))(*groups, batches, st.opt[0].count)
+    tol = dict(rtol=1e-5, atol=1e-7)
+    for got_g, want_g in zip(new_groups, want[:4]):
+        _assert_tree_close(got_g, want_g, **tol)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(want[4]),
+                               **tol)
+
+
+def test_dqn_train_step_kernel_learner_matches_xla_learner():
+    """Full DQN train_step parity: kernel-mode agent (flat state, fused
+    update kernel) vs the XLA agent, same seed."""
+    cfg = dict(hidden=(32, 32), batch_size=64, rollout_steps=8,
+               updates_per_step=2, warmup_env_steps=8, learner_block=32,
+               eps_decay_env_steps=100)
+    env = CartPole3D(CartPoleParams(), num_envs=64)
+    ag_x = DQN(env, DQNConfig(learner="xla", **cfg))
+    ag_k = DQN(env, DQNConfig(learner="kernel", **cfg))
+    assert not ag_x.kernel_mode and ag_k.kernel_mode
+    st_x, st_k = ag_x.init(0), ag_k.init(0)
+    assert isinstance(st_k.q, (list, tuple))
+    ts_x = ag_x.make_train_step(fused=False)
+    ts_k = ag_k.make_train_step(fused=False)
+    for _ in range(4):
+        st_x, m_x = ts_x(st_x)
+        st_k, m_k = ts_k(st_k)
+    tree_k = ag_k.state_to_tree(st_k)
+    tol = dict(rtol=2e-4, atol=1e-5)
+    _assert_tree_close(tree_k.q, st_x.q, **tol)
+    _assert_tree_close(tree_k.q_target, st_x.q_target, **tol)
+    assert int(st_k.opt[0].count) == int(st_x.opt[0].count)
+    for key in ("loss", "reward_mean", "done_frac"):
+        np.testing.assert_allclose(np.asarray(m_k[key]),
+                                   np.asarray(m_x[key]), **tol)
+    # Greedy eval works on the flat state.
+    stats = jax.jit(lambda s: ag_k.evaluate(s, num_steps=16))(st_k)
+    assert np.isfinite(float(stats["reward_mean"]))
