@@ -53,6 +53,13 @@ class NAFConfig:
     warmup_env_steps: int = 16
     dtype: str = "float32"
     sample: str = "column"           # replay sampling: column (fast) | uniform
+    # Learner implementation: "xla" | "kernel" | "auto" — see
+    # agents/ddpg.py. The kernel covers the full NAF update including
+    # the quadratic-advantage backward and clip_by_global_norm
+    # (ops/learner_kernel.py NAF section). Kernel-mode states keep
+    # params/target/Adam moments in the kernel's flat operand layout.
+    learner: str = "auto"
+    learner_block: int = 512         # kernel batch-block (VMEM budget)
 
 
 class NAFState(NamedTuple):
@@ -90,6 +97,44 @@ class NAF:
                        config.max_grad_norm), optax.adam(config.lr))
                    if config.max_grad_norm > 0.0
                    else optax.adam(config.lr))
+        if config.learner == "kernel":
+            if not self.kernel_learner_ok():
+                raise ValueError("config shape not coverable by the "
+                                 "fused update kernel (see "
+                                 "NAF.kernel_learner_ok)")
+            self.kernel_mode = True
+        elif config.learner == "auto":
+            self.kernel_mode = (self.kernel_learner_ok()
+                                and jax.default_backend() == "tpu"
+                                and len(jax.devices()) == 1)
+        elif config.learner == "xla":
+            self.kernel_mode = False
+        else:
+            raise ValueError(f"unknown learner {config.learner!r}")
+
+    def kernel_learner_ok(self) -> bool:
+        """ops/learner_kernel.py coverage for NAF (state obs, 2-D
+        actions, f32, no shard_map axis)."""
+        c = self.cfg
+        from .common import local_batch
+        return (self.env.obs_mode != "pixels"
+                and self.env.action_dim == 2
+                and len(c.hidden) >= 1
+                and c.dtype == "float32"
+                and self.dist_axis is None
+                and local_batch(c.batch_size, self.num_shards) % 8 == 0)
+
+    # --- optax-state plumbing (clip changes the nesting level) ----------
+    def _adam_state(self, opt):
+        return opt[1][0] if self.cfg.max_grad_norm > 0.0 else opt[0]
+
+    def _with_adam_state(self, opt, count, mu, nu):
+        if self.cfg.max_grad_norm > 0.0:
+            inner = (opt[1][0]._replace(count=count, mu=mu, nu=nu),
+                     ) + tuple(opt[1][1:])
+            return (opt[0], inner) + tuple(opt[2:])
+        return (opt[0]._replace(count=count, mu=mu, nu=nu),
+                ) + tuple(opt[1:])
 
     def init(self, key) -> NAFState:
         k_net, k_env, k_run = jax.random.split(as_key(key), 3)
@@ -97,16 +142,56 @@ class NAF:
         act0 = jnp.zeros((1, self.env.action_dim), jnp.float32)
         params = self.net.init(k_net, obs0, act0)
         env_state, obs = self.env.reset(k_env)
-        return NAFState(
+        st = NAFState(
             params=params, target=jax.tree.map(jnp.copy, params),
             opt=self.tx.init(params), replay=self.replay.init(),
             env_state=env_state, obs=obs, rng=k_run,
             env_steps=jnp.int32(0))
+        return self.state_from_tree(st) if self.kernel_mode else st
+
+    # --- kernel-mode state layout (see agents/ddpg.py for rationale) ----
+    def state_to_tree(self, st: NAFState) -> NAFState:
+        """Kernel-layout state -> canonical flax-tree state (the
+        checkpoint layout; no-op for tree-mode states)."""
+        if not isinstance(st.params, (list, tuple)):
+            return st
+        from ..ops import learner_kernel as lk
+
+        h = tuple(self.cfg.hidden)
+        a = self._adam_state(st.opt)
+        return st._replace(
+            params=lk.unflatten_naf(st.params, h),
+            target=lk.unflatten_naf(st.target, h),
+            opt=self._with_adam_state(
+                st.opt, a.count, lk.unflatten_naf(a.mu, h),
+                lk.unflatten_naf(a.nu, h)))
+
+    def state_from_tree(self, st: NAFState) -> NAFState:
+        """Canonical tree state -> this agent's native layout."""
+        if not self.kernel_mode or isinstance(st.params, (list, tuple)):
+            return st
+        from ..ops import learner_kernel as lk
+
+        h = tuple(self.cfg.hidden)
+        a = self._adam_state(st.opt)
+        return st._replace(
+            params=lk.flatten_naf(st.params, h),
+            target=lk.flatten_naf(st.target, h),
+            opt=self._with_adam_state(
+                st.opt, a.count, lk.flatten_naf(a.mu, h),
+                lk.flatten_naf(a.nu, h)))
+
+    def _params_tree(self, params):
+        """NafNet params as the flax tree (unflattens kernel layout)."""
+        if isinstance(params, (list, tuple)):
+            from ..ops import learner_kernel as lk
+            return lk.unflatten_naf(params, tuple(self.cfg.hidden))
+        return params
 
     def act(self, params, obs, env_seed=None, t=None, sigma=None):
         """mu(s), plus counter-PRNG Gaussian exploration when
         (env_seed, t) are given — sharding-independent."""
-        _, mu = self.net.apply(params, obs)
+        _, mu = self.net.apply(self._params_tree(params), obs)
         if env_seed is None:
             return mu
         s = self.cfg.noise_sigma if sigma is None else sigma
@@ -162,9 +247,10 @@ class NAF:
             env_state, obs, traj = run(st.env_state, st.obs, st.params,
                                        st.env_steps, sigma)
         else:
+            p_tree = self._params_tree(st.params)
             env_state, obs, traj = run_rollout(
                 self.env,
-                lambda o, t: self.act(st.params, o, env_seed, t, sigma),
+                lambda o, t: self.act(p_tree, o, env_seed, t, sigma),
                 st.env_state, st.obs,
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
         replay = self.replay.add_trajectory(st.replay, *traj)
@@ -183,11 +269,16 @@ class NAF:
                            target=polyak(s.target, params, c.tau))
             return s, loss
 
-        st, loss = gated_update_scan(
-            st, upd_body, c.updates_per_step,
-            env_steps >= c.warmup_env_steps, jnp.float32(0.0),
-            presample=replay_presample(self.replay, c.sample, c.batch_size,
-                                       self.num_shards, self.dist_axis))
+        if self.kernel_mode:
+            st, loss = self._kernel_update_phase(
+                st, env_steps >= c.warmup_env_steps)
+        else:
+            st, loss = gated_update_scan(
+                st, upd_body, c.updates_per_step,
+                env_steps >= c.warmup_env_steps, jnp.float32(0.0),
+                presample=replay_presample(self.replay, c.sample,
+                                           c.batch_size, self.num_shards,
+                                           self.dist_axis))
 
         metrics_extra = {"traj": traj} if capture else {}
         reward_mean = jnp.mean(traj[2])
@@ -202,6 +293,42 @@ class NAF:
             "done_frac": done_frac,
             "env_steps": env_steps,
         }
+
+    def _kernel_update_phase(self, st: NAFState, ready):
+        """The warmup-gated K-update learner phase through the fused
+        Pallas kernel (ops/learner_kernel.py NAF section) — same rng
+        splits as gated_update_scan, bitwise-identical presampled
+        batches, clip_by_global_norm + Adam + Polyak in-kernel."""
+        from ..ops import learner_kernel as lk
+
+        c = self.cfg
+        blk = min(c.learner_block, c.batch_size)
+        while c.batch_size % blk:
+            blk //= 2
+        run = lk.naf_update_phase(
+            tuple(c.hidden), self.env.obs_shape[0], c.updates_per_step,
+            c.batch_size, lr=c.lr, gamma=c.gamma, tau=c.tau,
+            max_grad_norm=c.max_grad_norm, block_size=blk,
+            interpret=jax.default_backend() != "tpu")
+        presample = replay_presample(self.replay, c.sample, c.batch_size,
+                                     self.num_shards, self.dist_axis)
+
+        def do(s):
+            rng, k = jax.random.split(s.rng)
+            s = s._replace(rng=rng)
+            keys = jax.random.split(k, c.updates_per_step)
+            batches = presample(s, keys)
+            a = self._adam_state(s.opt)
+            groups = (s.params, s.target, a.mu, a.nu)
+            t0 = a.count
+            new, loss = run(groups, batches, t0)
+            opt = self._with_adam_state(
+                s.opt, t0 + jnp.int32(c.updates_per_step), new[2], new[3])
+            s = s._replace(params=new[0], target=new[1], opt=opt)
+            return s, jnp.mean(loss)
+
+        return jax.lax.cond(ready, do, lambda s: (s, jnp.float32(0.0)),
+                            st)
 
     def fusable(self) -> bool:
         """Whether the Pallas mu-in-the-loop rollout covers this

@@ -939,3 +939,313 @@ def dqn_update_phase(hidden, obs_dim: int, k_updates: int,
         return new_groups, out[4 * na][:, 0, 0]
 
     return run
+
+
+# --------------------------------------------------------------------------
+# NAF: fused update phase for the quadratic-advantage Q-learner.
+#
+# Reference counterpart: `naf_cartpole.py`'s TF training step (SURVEY.md
+# §2a; reference mount empty this session). Semantics are exactly
+# agents/naf.py::upd_body: per update k — MSE TD step toward
+# y = r + gamma (1-d) V_target(s'), optional optax clip_by_global_norm,
+# Adam, Polyak — K times as ONE kernel over grid (K, NB).
+#
+# NafNet is a torso with THREE linear heads (V (H,1), mu (H,2),
+# L-entries (H,3)); they pack into one transposed (8, H) head, rows
+# [v, mu0, mu1, l0, l1, l2, 0, 0], so the shared mlp_fwd/mlp_bwd cover
+# the whole network. The 2x2 Cholesky advantage
+#   A = -1/2 |L^T (a - mu)|^2,  L = [[sp(l0), 0], [l1, sp(l2)]]
+# and its backward are per-sample lane algebra; lane extraction uses
+# iota one-hot reduces (no lane slicing).
+# --------------------------------------------------------------------------
+
+def _softplus(x):
+    """jax.nn.softplus's stable form (max(x,0) + log1p(exp(-|x|)))."""
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def _lane(pre, i: int):
+    """Extract lane i of (B, 8) as a (B, 1) column via a one-hot reduce."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, pre.shape, 1)
+    return jnp.sum(pre * (lanes == i).astype(jnp.float32), axis=1,
+                   keepdims=True)
+
+
+def _from_lanes(cols):
+    """Assemble (B, 8) from a list of (B, 1) columns (rest zero)."""
+    b = cols[0].shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (b, 8), 1)
+    out = jnp.zeros((b, 8), jnp.float32)
+    for i, c in enumerate(cols):
+        out = out + c * (lanes == i).astype(jnp.float32)
+    return out
+
+
+def naf_q(pre, act):
+    """Q, and the residue for naf backward, from the packed head
+    pre-activations (B, 8) and actions (B, 2)."""
+    v = _lane(pre, 0)
+    mu0, mu1 = _lane(pre, 1), _lane(pre, 2)
+    l0, l1, l2 = _lane(pre, 3), _lane(pre, 4), _lane(pre, 5)
+    a0, a1 = _lane(_from_lanes([act[:, 0:1], act[:, 1:2]]), 0), None
+    # act is (B, 2) straight from the batch: lane-slice-free extraction.
+    a0 = act[:, 0:1]
+    a1 = act[:, 1:2]
+    da0, da1 = a0 - mu0, a1 - mu1
+    l00, l11 = _softplus(l0), _softplus(l2)
+    u0 = l00 * da0 + l1 * da1
+    u1 = l11 * da1
+    q = v - 0.5 * (u0 * u0 + u1 * u1)
+    return q, (da0, da1, l00, l11, l0, l1, l2, u0, u1)
+
+
+def naf_q_bwd(dq, residue):
+    """d(pre-activations) (B, 8) for upstream dq (B, 1)."""
+    da0, da1, l00, l11, l0, l1, l2, u0, u1 = residue
+    dv = dq
+    du0 = -dq * u0
+    du1 = -dq * u1
+    dl00 = du0 * da0
+    dl10 = du0 * da1
+    dl11 = du1 * da1
+    dda0 = du0 * l00
+    dda1 = du0 * l1 + du1 * l11
+    dmu0, dmu1 = -dda0, -dda1
+    dl0 = dl00 * _sigmoid(l0)
+    dl2 = dl11 * _sigmoid(l2)
+    return _from_lanes([dv, dmu0, dmu1, dl0, dl10, dl2])
+
+
+def naf_phase_block(params, target, obs, nobs, act, rew, done,
+                    gamma: float, inv_batch: float, hidden):
+    """TD gradient contribution of one batch block. act (B, 2),
+    rew/done (B, 1). Returns (flat grads, loss contribution)."""
+    pre_t, _ = mlp_fwd(nobs, target, hidden)
+    v_next = _lane(pre_t, 0)
+    y = rew + np.float32(gamma) * (1.0 - done) * v_next
+    pre, res = mlp_fwd(obs, params, hidden)
+    q, qres = naf_q(pre, act)
+    td = q - y
+    dpre = naf_q_bwd(np.float32(2.0 * inv_batch) * td, qres)
+    grads = mlp_bwd(dpre, params, hidden, res)
+    return grads, np.float32(inv_batch) * jnp.sum(td * td)
+
+
+def clip_by_global_norm_flat(grads, max_norm: float):
+    """optax.clip_by_global_norm on a flat operand list."""
+    gsq = jnp.float32(0.0)
+    for g in grads:
+        gsq = gsq + jnp.sum(g * g)
+    gn = jnp.sqrt(gsq)
+    scale = jnp.where(gn < np.float32(max_norm), 1.0,
+                      np.float32(max_norm) / gn)
+    return [g * scale for g in grads]
+
+
+def naf_update_phase_math(params, target, m, v, batches, t0, hidden, *,
+                          lr, gamma, tau, max_grad_norm: float = 0.0,
+                          num_blocks: int = 1):
+    """K sequential NAF updates on flat operand lists — the kernel's
+    componentwise jnp twin. Returns (params, target, m, v, loss (K,))."""
+    k_updates, bm = batches[0].shape[0], batches[0].shape[1]
+    blk = bm // num_blocks
+    inv = 1.0 / bm
+    losses = []
+    for k in range(k_updates):
+        obs, act, rew, nobs, done = (x[k] for x in batches)
+        rew = rew[:, None]
+        done = done.astype(jnp.float32)[:, None]
+        tk = (t0 + k + 1).astype(jnp.float32)
+        g_acc, loss = None, jnp.float32(0.0)
+        for j in range(num_blocks):
+            sl = slice(j * blk, (j + 1) * blk)
+            g, ls = naf_phase_block(params, target, obs[sl], nobs[sl],
+                                    act[sl], rew[sl], done[sl], gamma,
+                                    inv, hidden)
+            g_acc = g if g_acc is None else [a + b
+                                             for a, b in zip(g_acc, g)]
+            loss = loss + ls
+        if max_grad_norm > 0.0:
+            g_acc = clip_by_global_norm_flat(g_acc, max_grad_norm)
+        new = [adam_step(p, mm, vv, g, tk, lr)
+               for p, mm, vv, g in zip(params, m, v, g_acc)]
+        params, m, v = ([x[i] for x in new] for i in range(3))
+        target = polyak_flat(target, params, tau)
+        losses.append(loss)
+    return params, target, m, v, jnp.stack(losses)
+
+
+def _naf_update_kernel(hidden, na: int, nb: int, gamma: float,
+                       tau: float, lr: float, inv_bm: float,
+                       k_updates: int, max_grad_norm: float, *refs):
+    n_par = 4 * na
+    obs_ref, nobs_ref, act_ref, rew_ref, done_ref = refs[:5]
+    par_in = refs[5:5 + n_par]
+    t0_ref = refs[5 + n_par]
+    outs = refs[6 + n_par:6 + 2 * n_par]
+    losses_ref = refs[6 + 2 * n_par]
+    scratch = refs[7 + 2 * n_par:]
+    par_s = scratch[:n_par]
+    acc = scratch[n_par:n_par + na]
+    loss_s = scratch[n_par + na]
+
+    kk = pl.program_id(0)
+    j = pl.program_id(1)
+    p_s, t_s, m_s, v_s = (par_s[i * na:(i + 1) * na] for i in range(4))
+
+    @pl.when((kk == 0) & (j == 0))
+    def _init():
+        for dst, src in zip(par_s, par_in):
+            dst[:] = src[:]
+
+    grads, loss = naf_phase_block(
+        [r[:] for r in p_s], [r[:] for r in t_s], obs_ref[0],
+        nobs_ref[0], act_ref[0], rew_ref[0], done_ref[0], gamma,
+        inv_bm, hidden)
+    tile = jnp.full((1, 128), loss, jnp.float32)
+
+    @pl.when(j == 0)
+    def _first():
+        for dst, g in zip(acc, grads):
+            dst[:] = g
+        loss_s[:] = tile
+
+    @pl.when(j > 0)
+    def _rest():
+        for dst, g in zip(acc, grads):
+            dst[:] = dst[:] + g
+        loss_s[:] = loss_s[:] + tile
+
+    @pl.when(j == nb - 1)
+    def _apply():
+        tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
+        g_list = [g[:] for g in acc]
+        if max_grad_norm > 0.0:
+            g_list = clip_by_global_norm_flat(g_list, max_grad_norm)
+        for p, m, v, g in zip(p_s, m_s, v_s, g_list):
+            pn, mn, vn = adam_step(p[:], m[:], v[:], g, tk, lr)
+            p[:] = pn
+            m[:] = mn
+            v[:] = vn
+        for tr, on in zip(t_s, p_s):
+            tr[:] = tr[:] + np.float32(tau) * (on[:] - tr[:])
+        losses_ref[0] = jnp.concatenate(
+            [loss_s[:], jnp.zeros((7, 128), jnp.float32)], axis=0)
+
+    @pl.when((kk == k_updates - 1) & (j == nb - 1))
+    def _finalize():
+        for dst, src in zip(outs, par_s):
+            dst[:] = src[:]
+
+
+def naf_update_phase(hidden, obs_dim: int, k_updates: int,
+                     batch_size: int, *, lr: float, gamma: float,
+                     tau: float, max_grad_norm: float = 0.0,
+                     block_size: int = 512, interpret: bool = False):
+    """Builder: one pallas_call covering the whole K-update NAF learner
+    phase. Returned fn(groups, batches, t0) -> (groups', loss (K,))
+    with groups = (params, target, m, v) as flatten_naf operand lists."""
+    hidden = tuple(hidden)
+    a_sh = actor_shapes(hidden, obs_dim)
+    na = len(a_sh)
+    blk = min(block_size, batch_size)
+    if batch_size % blk:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"block {blk}")
+    nb = batch_size // blk
+
+    kernel = functools.partial(_naf_update_kernel, hidden, na, nb,
+                               gamma, tau, lr, 1.0 / batch_size,
+                               k_updates, max_grad_norm)
+
+    def batch_spec(width):
+        return pl.BlockSpec((1, blk, width), lambda k, j: (k, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def par_spec(shape):
+        return pl.BlockSpec(shape, lambda k, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flat_shapes = a_sh * 4
+    in_specs = (
+        [batch_spec(obs_dim), batch_spec(obs_dim), batch_spec(2),
+         batch_spec(1), batch_spec(1)]
+        + [par_spec(s) for s in flat_shapes]
+        + [pl.BlockSpec((1, 1), lambda k, j: (0, 0),
+                        memory_space=pltpu.SMEM)]
+    )
+    out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32)
+                  for s in flat_shapes]
+                 + [jax.ShapeDtypeStruct((k_updates, 8, 128),
+                                         jnp.float32)])
+    out_specs = ([par_spec(s) for s in flat_shapes]
+                 + [pl.BlockSpec((1, 8, 128), lambda k, j: (k, 0, 0),
+                                 memory_space=pltpu.VMEM)])
+    scratch_shapes = (
+        [pltpu.VMEM(s, jnp.float32) for s in flat_shapes]
+        + [pltpu.VMEM(s, jnp.float32) for s in a_sh]
+        + [pltpu.VMEM((1, 128), jnp.float32)]
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(k_updates, nb),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )
+
+    def run(groups, batches, t0):
+        obs, act, rew, nobs, done = batches
+        k, bm = obs.shape[0], obs.shape[1]
+        args = ([obs, nobs, act, rew.reshape(k, bm, 1),
+                 done.astype(jnp.float32).reshape(k, bm, 1)]
+                + [arr for g in groups for arr in g]
+                + [jnp.asarray(t0, jnp.int32).reshape(1, 1)])
+        out = call(*args)
+        new_groups = tuple(list(out[i * na:(i + 1) * na])
+                           for i in range(4))
+        return new_groups, out[4 * na][:, 0, 0]
+
+    return run
+
+
+def flatten_naf(params, hidden):
+    """NafNet tree (or same-structure Adam moments) -> flat operand
+    list. The V (Dense_0), mu (Dense_1) and L-entry (Dense_2) heads
+    pack into one (8, H) transposed head + (1, 8) bias, rows
+    [v, mu0, mu1, l0, l1, l2, 0, 0]."""
+    torso = params["params"]["_Torso_0"]
+    wm = max(hidden)
+    ws, vecs = [], []
+    for i, _ in enumerate(hidden):
+        d, ln = torso[f"Dense_{i}"], torso[f"LayerNorm_{i}"]
+        ws.append(jnp.asarray(d["kernel"], jnp.float32))
+        vecs += [d["bias"], ln["scale"], ln["bias"]]
+    heads = [params["params"][f"Dense_{i}"] for i in range(3)]
+    wt = jnp.concatenate([jnp.transpose(h["kernel"]) for h in heads],
+                         axis=0)                       # (6, H)
+    wh = jnp.concatenate(
+        [wt, jnp.zeros((2, wt.shape[1]), jnp.float32)], axis=0)
+    bh = jnp.concatenate([h["bias"] for h in heads] +
+                         [jnp.zeros((2,), jnp.float32)])[None, :]
+    return ws + [wh, _pack_rows(vecs, len(hidden), wm), bh]
+
+
+def unflatten_naf(flat, hidden):
+    ws, wh, rows, bh = flat[:-3], flat[-3], flat[-2], flat[-1]
+    torso = {}
+    for i, hd in enumerate(hidden):
+        torso[f"Dense_{i}"] = {"kernel": ws[i], "bias": rows[3 * i, :hd]}
+        torso[f"LayerNorm_{i}"] = {"scale": rows[3 * i + 1, :hd],
+                                   "bias": rows[3 * i + 2, :hd]}
+    p = {"_Torso_0": torso}
+    for i, (lo, hi) in enumerate([(0, 1), (1, 3), (3, 6)]):
+        p[f"Dense_{i}"] = {"kernel": jnp.transpose(wh[lo:hi]),
+                           "bias": bh[0, lo:hi]}
+    return {"params": p}

@@ -599,7 +599,24 @@ def _flatten_q_params(params, hidden):
 def _flatten_naf_params(params, hidden):
     """Flax NafNet param tree -> feature-major kernel operands. Only the
     torso + mu head (Dense_1) enter the rollout; the V head (Dense_0)
-    and L-matrix head (Dense_2) are learner-only."""
+    and L-matrix head (Dense_2) are learner-only. Also accepts
+    kernel-mode NAF's batch-major flat list (packed-head rows 1..2 are
+    the mu head — ops/learner_kernel.py::flatten_naf layout)."""
+    if isinstance(params, (list, tuple)):
+        flat = params
+        ws, wh, rows, bh = flat[:-3], flat[-3], flat[-2], flat[-1]
+        out = []
+        for i, h in enumerate(hidden):
+            out.append(jnp.transpose(ws[i]))
+            for j in range(3):
+                out.append(jnp.transpose(
+                    rows[3 * i + j:3 * i + j + 1, :h]))
+        w_out = jnp.concatenate(
+            [wh[1:3], jnp.zeros((6, wh.shape[1]), jnp.float32)], axis=0)
+        b_out = jnp.concatenate(
+            [jnp.transpose(bh[:, 1:3]), jnp.zeros((6, 1), jnp.float32)],
+            axis=0)
+        return out, w_out, b_out
     torso = params["params"]["_Torso_0"]
     flat = []
     for i, _ in enumerate(hidden):

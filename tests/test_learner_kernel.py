@@ -355,3 +355,112 @@ def test_dqn_train_step_kernel_learner_matches_xla_learner():
     # Greedy eval works on the flat state.
     stats = jax.jit(lambda s: ag_k.evaluate(s, num_steps=16))(st_k)
     assert np.isfinite(float(stats["reward_mean"]))
+
+
+# --------------------------------------------------------------------------
+# NAF fused update phase
+# --------------------------------------------------------------------------
+
+from cartpoleplusplus_tpu.agents import NAF, NAFConfig
+
+
+def _naf_agent(**kw):
+    env = CartPole3D(continuous_params(), num_envs=8)
+    cfg = NAFConfig(hidden=HIDDEN, batch_size=BM, lr=1e-3, tau=0.05,
+                    updates_per_step=K, **kw)
+    return NAF(env, cfg)
+
+
+@pytest.mark.parametrize("clip", [10.0, 0.0])
+def test_naf_update_math_matches_xla_update_scan(clip):
+    agent = _naf_agent(max_grad_norm=clip)
+    st = agent.init(0)
+    batches = _fake_batches(jax.random.PRNGKey(1), agent.env.obs_shape[0])
+
+    import optax
+    from cartpoleplusplus_tpu.models import polyak as tree_polyak
+    params, target, opt = st.params, st.target, st.opt
+    losses = []
+    for k in range(K):
+        batch = tuple(x[k] for x in batches)
+
+        def step(params, target, opt, batch):
+            loss, grad = jax.value_and_grad(agent._loss)(
+                params, target, batch)
+            upd, opt = agent.tx.update(grad, opt, params)
+            params = optax.apply_updates(params, upd)
+            return params, tree_polyak(target, params, agent.cfg.tau), \
+                opt, loss
+
+        params, target, opt, loss = jax.jit(step)(params, target, opt,
+                                                  batch)
+        losses.append(loss)
+
+    h = agent.cfg.hidden
+    a0 = agent._adam_state(st.opt)
+    out = jax.jit(functools.partial(
+        lk.naf_update_phase_math, hidden=HIDDEN, lr=agent.cfg.lr,
+        gamma=agent.cfg.gamma, tau=agent.cfg.tau, max_grad_norm=clip))(
+            lk.flatten_naf(st.params, h), lk.flatten_naf(st.target, h),
+            lk.flatten_naf(a0.mu, h), lk.flatten_naf(a0.nu, h),
+            batches, a0.count)
+    tol = dict(rtol=2e-4, atol=2e-5)
+    _assert_tree_close(lk.unflatten_naf(out[0], HIDDEN), params, **tol)
+    _assert_tree_close(lk.unflatten_naf(out[1], HIDDEN), target, **tol)
+    np.testing.assert_allclose(np.asarray(out[4]), np.asarray(losses),
+                               **tol)
+
+
+def test_naf_flatten_roundtrip_and_kernel_interpret():
+    agent = _naf_agent()
+    st = agent.init(0)
+    h = agent.cfg.hidden
+    _assert_tree_close(
+        lk.unflatten_naf(lk.flatten_naf(st.params, h), h), st.params)
+
+    obs_dim = agent.env.obs_shape[0]
+    batches = _fake_batches(jax.random.PRNGKey(2), obs_dim)
+    a0 = agent._adam_state(st.opt)
+    groups = (lk.flatten_naf(st.params, h), lk.flatten_naf(st.target, h),
+              lk.flatten_naf(a0.mu, h), lk.flatten_naf(a0.nu, h))
+    blk = 32
+    run = lk.naf_update_phase(HIDDEN, obs_dim, K, BM, lr=agent.cfg.lr,
+                              gamma=agent.cfg.gamma, tau=agent.cfg.tau,
+                              max_grad_norm=agent.cfg.max_grad_norm,
+                              block_size=blk, interpret=True)
+    new_groups, loss = jax.jit(run)(groups, batches, a0.count)
+    want = jax.jit(functools.partial(
+        lk.naf_update_phase_math, hidden=HIDDEN, lr=agent.cfg.lr,
+        gamma=agent.cfg.gamma, tau=agent.cfg.tau,
+        max_grad_norm=agent.cfg.max_grad_norm,
+        num_blocks=BM // blk))(*groups, batches, a0.count)
+    tol = dict(rtol=1e-5, atol=1e-7)
+    for got_g, want_g in zip(new_groups, want[:4]):
+        _assert_tree_close(got_g, want_g, **tol)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(want[4]),
+                               **tol)
+
+
+def test_naf_train_step_kernel_learner_matches_xla_learner():
+    cfg = dict(hidden=(32, 32), batch_size=64, rollout_steps=8,
+               updates_per_step=2, warmup_env_steps=8, learner_block=32)
+    env = CartPole3D(continuous_params(), num_envs=64)
+    ag_x = NAF(env, NAFConfig(learner="xla", **cfg))
+    ag_k = NAF(env, NAFConfig(learner="kernel", **cfg))
+    assert not ag_x.kernel_mode and ag_k.kernel_mode
+    st_x, st_k = ag_x.init(0), ag_k.init(0)
+    assert isinstance(st_k.params, (list, tuple))
+    ts_x = ag_x.make_train_step(fused=False)
+    ts_k = ag_k.make_train_step(fused=False)
+    for _ in range(4):
+        st_x, m_x = ts_x(st_x)
+        st_k, m_k = ts_k(st_k)
+    tree_k = ag_k.state_to_tree(st_k)
+    tol = dict(rtol=2e-4, atol=1e-5)
+    _assert_tree_close(tree_k.params, st_x.params, **tol)
+    _assert_tree_close(tree_k.target, st_x.target, **tol)
+    for key in ("loss", "reward_mean", "done_frac"):
+        np.testing.assert_allclose(np.asarray(m_k[key]),
+                                   np.asarray(m_x[key]), **tol)
+    stats = jax.jit(lambda s: ag_k.evaluate(s, num_steps=16))(st_k)
+    assert np.isfinite(float(stats["reward_mean"]))
