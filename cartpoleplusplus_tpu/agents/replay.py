@@ -241,6 +241,48 @@ class ReplayBuffer:
 
         return tuple(trim(x) for x in batch)
 
+    def presample_columns(self, rs: ReplayState, keys, batch_size: int):
+        """All K update minibatches as ONE gather per ring buffer.
+
+        Bitwise-equivalent to `jax.vmap(sample_columns)` over the K
+        per-update keys (same randint draws per key, same
+        column-concatenation row order), but the K x columns slot reads
+        collapse into a single `jnp.take` along the slot axis per buffer
+        — the vmapped form lowers to per-key dynamic-slice chains whose
+        ~20 us fixed cost each lands on the serial op stream
+        (docs/design.md §8d/§8e). Requires batch_size to be a whole
+        number of columns (batch % num_envs == 0);
+        agents/common.replay_presample falls back to the vmapped path
+        otherwise."""
+        b = self.num_envs
+        k_cols = batch_size // b
+        if batch_size != k_cols * b:
+            raise ValueError("presample_columns needs batch_size to be a "
+                             "multiple of num_envs")
+        n_valid = jnp.maximum(rs.filled - 1, 1)
+
+        def slots_for(key):
+            k_slot, _ = jax.random.split(key)
+            ages = jax.random.randint(k_slot, (k_cols,), 1, n_valid + 1)
+            return (rs.cursor - 1 - ages) % self.capacity
+
+        slots = jax.vmap(slots_for)(keys)           # (K, C) — tiny
+        flat = slots.reshape(-1)                    # (K*C,)
+        kk = keys.shape[0]
+
+        def take(buf, idx):
+            # (B, K*C, ...) -> (K, C*B, ...) in sample_columns's
+            # concat order (column-major over envs within each update).
+            out = jnp.take(buf, idx, axis=1)
+            out = jnp.moveaxis(out, 1, 0)
+            return out.reshape((kk, k_cols * b) + buf.shape[2:])
+
+        obs = self._decode_obs(take(rs.obs, flat))
+        next_obs = self._decode_obs(
+            take(rs.obs, (flat + 1) % self.capacity))
+        return (obs, take(rs.action, flat), take(rs.reward, flat),
+                next_obs, take(rs.done, flat))
+
     def sample(self, rs: ReplayState, key, batch_size: int):
         """Uniform minibatch of (obs, action, reward, next_obs, done).
 

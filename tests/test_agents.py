@@ -398,3 +398,28 @@ def test_ddpg_polyak_per_step_cadence():
     _check_finite(metrics)
     assert not np.allclose(np.asarray(jax.tree.leaves(st.critic_target)[0]),
                            np.asarray(t0))
+
+
+def test_presample_columns_bitwise_matches_vmapped_sampling():
+    """ReplayBuffer.presample_columns (one gather per ring buffer) must
+    produce bitwise the batches of vmap(sample_columns) over the K
+    update keys — the contract that lets the fast path replace the
+    vmapped one under any learner (docs/design.md §8e)."""
+    rb = ReplayBuffer(num_envs=16, capacity_per_env=32, obs_dim=6,
+                      action_dim=2, discrete=False)
+    rs = rb.init()
+    add = jax.jit(rb.add)
+    rng = np.random.RandomState(0)
+    for t in range(40):  # wraps the ring
+        rs = add(rs,
+                 jnp.asarray(rng.randn(16, 6), jnp.float32),
+                 jnp.asarray(rng.rand(16, 2), jnp.float32),
+                 jnp.asarray(rng.rand(16), jnp.float32),
+                 jnp.asarray(rng.rand(16) < 0.2))
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    batch = 32  # 2 whole columns
+    fast = jax.jit(lambda r, k: rb.presample_columns(r, k, batch))(rs, keys)
+    slow = jax.jit(jax.vmap(lambda r, k: rb.sample_columns(r, k, batch),
+                            in_axes=(None, 0)))(rs, keys)
+    for f, s in zip(fast, slow):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(s))
