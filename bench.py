@@ -25,6 +25,14 @@ def main():
     except Exception:
         pass
 
+    # BENCH_MM_PREC wraps the whole bench in jax.default_matmul_precision
+    # (e.g. "bfloat16" makes every f32 dot a single MXU pass) — a probe
+    # knob for the matmul-bound kernels; quality implications are
+    # validated separately before any default changes.
+    mm_prec = os.environ.get("BENCH_MM_PREC")
+    if mm_prec:
+        jax.config.update("jax_default_matmul_precision", mm_prec)
+
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
     # Large step count amortizes the ~15-50 ms tunnel round-trip so the
     # reported rate reflects the engine, not dispatch latency.
@@ -145,12 +153,15 @@ def bench_ddpg(num_envs: int, num_steps: int):
     # "auto" (default: the fused update-phase kernel on one TPU chip) |
     # "kernel" | "xla" — see DDPGConfig.learner.
     learner = os.environ.get("BENCH_DDPG_LEARNER", "auto")
+    # in-kernel matmul precision for the fused learner ("bfloat16" | "")
+    kprec = os.environ.get("BENCH_DDPG_KPREC") or None
     env = CartPole3D(continuous_params(), num_envs=num_envs)
     agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
                                  updates_per_step=updates,
                                  batch_size=batch, warmup_env_steps=0,
                                  dtype=dtype, actor_grad_critic=agc,
-                                 polyak_cadence=pol, learner=learner))
+                                 polyak_cadence=pol, learner=learner,
+                                 learner_precision=kprec))
     st = agent.init(0)
     step = agent.make_train_step()  # auto-selects the fused kernel on TPU
     st, m = step(st)
@@ -192,13 +203,15 @@ def bench_dqn(num_envs: int, num_steps: int):
     from cartpoleplusplus_tpu import CartPole3D, CartPoleParams
     from cartpoleplusplus_tpu.agents import DQN, DQNConfig
 
+    learner = os.environ.get("BENCH_DQN_LEARNER", "auto")
     rollout = int(os.environ.get("BENCH_DQN_ROLLOUT", "64"))
     updates = int(os.environ.get("BENCH_DQN_UPDATES", "8"))
     batch = int(os.environ.get("BENCH_DQN_BATCH", "8192"))
     env = CartPole3D(CartPoleParams(), num_envs=num_envs)
     agent = DQN(env, DQNConfig(rollout_steps=rollout,
                                updates_per_step=updates,
-                               batch_size=batch, warmup_env_steps=0))
+                               batch_size=batch, warmup_env_steps=0,
+                               learner=learner))
     st = agent.init(0)
     step = agent.make_train_step()  # auto-selects the fused kernel on TPU
     st, m = step(st)

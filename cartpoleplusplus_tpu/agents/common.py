@@ -78,6 +78,11 @@ def gated_update_scan(st, upd_body, num_updates: int, ready,
         s, metrics = jax.lax.scan(upd_body, s, xs)
         return s, jax.tree.map(jnp.mean, metrics)
 
+    # Static True (warmup disabled) skips the cond entirely — no
+    # identity branch for XLA to satisfy with copies of the carried
+    # state (replay buffers are the big operand).
+    if ready is True:
+        return do(st)
     return jax.lax.cond(ready, do, lambda s: (s, zero_metrics), st)
 
 

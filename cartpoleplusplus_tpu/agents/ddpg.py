@@ -87,6 +87,9 @@ class DDPGConfig:
     # presampled minibatches, bitwise, as the XLA path.
     learner: str = "auto"
     learner_block: int = 512         # kernel batch-block (VMEM budget)
+    # Matmul precision INSIDE the update kernel: None = platform
+    # default; "bfloat16" = single-pass MXU matmuls (fwd+bwd+targets).
+    learner_precision: str | None = None
 
 
 class DDPGState(NamedTuple):
@@ -401,6 +404,8 @@ class DDPG:
 
         zero = {"critic_loss": jnp.float32(0.0),
                 "actor_loss": jnp.float32(0.0)}
+        if ready is True:   # static: warmup disabled, no cond branch
+            return do(st)
         return jax.lax.cond(ready, do, lambda s: (s, zero), st)
 
     def greedy_policy(self, st: DDPGState):
@@ -469,7 +474,8 @@ class DDPG:
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
                          noise=noise, rng=rng, env_steps=env_steps)
 
-        ready = env_steps >= c.warmup_env_steps
+        ready = (True if c.warmup_env_steps <= 0
+                 else env_steps >= c.warmup_env_steps)
         if self.kernel_mode:
             st, losses = self._kernel_update_phase(st, ready)
         else:

@@ -59,6 +59,7 @@ class DQNConfig:
     # layout; checkpoints are converted to canonical trees (train.py).
     learner: str = "auto"
     learner_block: int = 512         # kernel batch-block (VMEM budget)
+    learner_precision: str | None = None  # in-kernel matmul precision
 
 
 class DQNState(NamedTuple):
@@ -268,13 +269,13 @@ class DQN:
                            q_target=polyak(s.q_target, q, c.tau))
             return s, loss
 
+        ready = (True if c.warmup_env_steps <= 0
+                 else env_steps >= c.warmup_env_steps)
         if self.kernel_mode:
-            st, loss = self._kernel_update_phase(
-                st, env_steps >= c.warmup_env_steps)
+            st, loss = self._kernel_update_phase(st, ready)
         else:
             st, loss = gated_update_scan(
-                st, upd_body, c.updates_per_step,
-                env_steps >= c.warmup_env_steps, jnp.float32(0.0),
+                st, upd_body, c.updates_per_step, ready, jnp.float32(0.0),
                 presample=replay_presample(self.replay, c.sample,
                                            c.batch_size, self.num_shards,
                                            self.dist_axis))
@@ -309,7 +310,8 @@ class DQN:
             tuple(c.hidden), self.env.obs_shape[0], c.updates_per_step,
             c.batch_size, lr=c.lr, gamma=c.gamma, tau=c.tau,
             num_actions=self.env.num_actions, double_dqn=c.double_dqn,
-            block_size=blk, interpret=jax.default_backend() != "tpu")
+            block_size=blk, interpret=jax.default_backend() != "tpu",
+            mm_precision=c.learner_precision)
         presample = replay_presample(self.replay, c.sample, c.batch_size,
                                      self.num_shards, self.dist_axis)
 
@@ -327,6 +329,8 @@ class DQN:
             s = s._replace(q=new[0], q_target=new[1], opt=opt)
             return s, jnp.mean(loss)
 
+        if ready is True:   # static: warmup disabled, no cond branch
+            return do(st)
         return jax.lax.cond(ready, do, lambda s: (s, jnp.float32(0.0)),
                             st)
 

@@ -339,6 +339,19 @@ def polyak_flat(target_list, online_list, tau):
             for t, o in zip(target_list, online_list)]
 
 
+def _with_mm_precision(call, mm_precision, args):
+    """Trace the pallas_call under an explicit default matmul
+    precision. None leaves the ambient setting (tests run 'highest' on
+    CPU; hardware default is the Mosaic f32 multi-pass form).
+    'bfloat16' makes every in-kernel dot a single MXU pass — the
+    learner-quality question is the same one flax's dtype knob answers,
+    measured per-agent on hardware before promoting any default."""
+    if mm_precision is None:
+        return call(*args)
+    with jax.default_matmul_precision(mm_precision):
+        return call(*args)
+
+
 # --------------------------------------------------------------------------
 # Flat operand lists <-> flax pytrees. The same flatten applies verbatim
 # to optax Adam moment trees (they mirror the param tree structure), and
@@ -633,7 +646,8 @@ def _update_kernel(hidden, na: int, nc: int, nb: int, gamma: float,
 def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
                       batch_size: int, *, actor_lr: float,
                       critic_lr: float, gamma: float, tau: float,
-                      block_size: int = 512, interpret: bool = False):
+                      block_size: int = 512, interpret: bool = False,
+                      mm_precision: str | None = None):
     """Builder: one pallas_call covering the whole K-update DDPG learner
     phase.
 
@@ -710,7 +724,7 @@ def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
                  done.astype(jnp.float32).reshape(k, bm, 1)]
                 + [arr for g in groups for arr in g]
                 + [jnp.asarray(t0, jnp.int32).reshape(1, 1)])
-        out = call(*args)
+        out = _with_mm_precision(call, mm_precision, args)
         new_groups, pos = [], 0
         for sz in sizes:
             new_groups.append(list(out[pos:pos + sz]))
@@ -867,7 +881,8 @@ def dqn_update_phase(hidden, obs_dim: int, k_updates: int,
                      batch_size: int, *, lr: float, gamma: float,
                      tau: float, num_actions: int = 5,
                      double_dqn: bool = True, block_size: int = 512,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     mm_precision: str | None = None):
     """Builder: one pallas_call covering the whole K-update DQN learner
     phase. Returned fn(groups, batches, t0) -> (groups', loss (K,))
     with groups = (q, q_target, m, v) flat operand lists (flatten_actor
@@ -933,7 +948,7 @@ def dqn_update_phase(hidden, obs_dim: int, k_updates: int,
                  done.astype(jnp.float32).reshape(k, bm, 1)]
                 + [arr for g in groups for arr in g]
                 + [jnp.asarray(t0, jnp.int32).reshape(1, 1)])
-        out = call(*args)
+        out = _with_mm_precision(call, mm_precision, args)
         new_groups = tuple(list(out[i * na:(i + 1) * na])
                            for i in range(4))
         return new_groups, out[4 * na][:, 0, 0]
@@ -1145,7 +1160,8 @@ def _naf_update_kernel(hidden, na: int, nb: int, gamma: float,
 def naf_update_phase(hidden, obs_dim: int, k_updates: int,
                      batch_size: int, *, lr: float, gamma: float,
                      tau: float, max_grad_norm: float = 0.0,
-                     block_size: int = 512, interpret: bool = False):
+                     block_size: int = 512, interpret: bool = False,
+                     mm_precision: str | None = None):
     """Builder: one pallas_call covering the whole K-update NAF learner
     phase. Returned fn(groups, batches, t0) -> (groups', loss (K,))
     with groups = (params, target, m, v) as flatten_naf operand lists."""
@@ -1207,7 +1223,7 @@ def naf_update_phase(hidden, obs_dim: int, k_updates: int,
                  done.astype(jnp.float32).reshape(k, bm, 1)]
                 + [arr for g in groups for arr in g]
                 + [jnp.asarray(t0, jnp.int32).reshape(1, 1)])
-        out = call(*args)
+        out = _with_mm_precision(call, mm_precision, args)
         new_groups = tuple(list(out[i * na:(i + 1) * na])
                            for i in range(4))
         return new_groups, out[4 * na][:, 0, 0]
