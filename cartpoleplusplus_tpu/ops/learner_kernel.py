@@ -1006,10 +1006,13 @@ def naf_q(pre, act):
     v = _lane(pre, 0)
     mu0, mu1 = _lane(pre, 1), _lane(pre, 2)
     l0, l1, l2 = _lane(pre, 3), _lane(pre, 4), _lane(pre, 5)
-    a0, a1 = _lane(_from_lanes([act[:, 0:1], act[:, 1:2]]), 0), None
-    # act is (B, 2) straight from the batch: lane-slice-free extraction.
-    a0 = act[:, 0:1]
-    a1 = act[:, 1:2]
+    # Lane-slice-free action extraction (Mosaic rejects narrow lane
+    # slices at nonzero offsets): one-hot reduces over the (B, 2) tile.
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, act.shape, 1)
+    a0 = jnp.sum(act * (lanes2 == 0).astype(jnp.float32), axis=1,
+                 keepdims=True)
+    a1 = jnp.sum(act * (lanes2 == 1).astype(jnp.float32), axis=1,
+                 keepdims=True)
     da0, da1 = a0 - mu0, a1 - mu1
     l00, l11 = _softplus(l0), _softplus(l2)
     u0 = l00 * da0 + l1 * da1
