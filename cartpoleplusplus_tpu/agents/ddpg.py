@@ -345,7 +345,7 @@ class DDPG:
         return (self.env.obs_mode != "pixels"
                 and not self.replay.quantize_obs
                 and len(c.hidden) >= 2
-                and c.actor_grad_critic == "updated"
+                and c.actor_grad_critic in ("updated", "pre")
                 and c.polyak_cadence == "per_update"
                 and c.dtype == "float32"
                 and self.dist_axis is None
@@ -373,7 +373,9 @@ class DDPG:
             self.local_batch_size, actor_lr=c.actor_lr,
             critic_lr=c.critic_lr, gamma=c.gamma, tau=c.tau,
             block_size=self._kernel_block(),
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            mm_precision=c.learner_precision,
+            actor_grad_critic=c.actor_grad_critic)
         presample = replay_presample(self.replay, c.sample, c.batch_size,
                                      self.num_shards, self.dist_axis)
 

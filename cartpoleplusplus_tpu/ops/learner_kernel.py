@@ -488,7 +488,8 @@ def unflatten_critic(flat, hidden, action_dim: int = 2):
 
 def update_phase_math(actor, critic, actor_t, critic_t, m_a, v_a, m_c,
                       v_c, batches, t0, hidden, *, actor_lr, critic_lr,
-                      gamma, tau, num_blocks: int = 1):
+                      gamma, tau, num_blocks: int = 1,
+                      actor_grad_critic: str = "updated"):
     """K sequential DDPG updates on flat operand lists, batch blocks
     processed exactly as the kernel grid does (grads accumulated over
     blocks, Adam at the last). batches: (obs (K, Bm, F), action
@@ -513,13 +514,15 @@ def update_phase_math(actor, critic, actor_t, critic_t, m_a, v_a, m_c,
                                        hidden)
             cg = g if cg is None else [a + b for a, b in zip(cg, g)]
             closs = closs + ls
+        pre_critic = critic
         new = [adam_step(p, m, v, g, tk, critic_lr)
                for p, m, v, g in zip(critic, m_c, v_c, cg)]
         critic, m_c, v_c = ([x[i] for x in new] for i in range(3))
+        actor_critic = pre_critic if actor_grad_critic == "pre" else critic
         ag, aloss = None, jnp.float32(0.0)
         for j in range(num_blocks):
             sl = slice(j * blk, (j + 1) * blk)
-            g, ls = actor_phase_block(actor, critic, obs[sl], inv,
+            g, ls = actor_phase_block(actor, actor_critic, obs[sl], inv,
                                       hidden)
             ag = g if ag is None else [a + b for a, b in zip(ag, g)]
             aloss = aloss + ls
@@ -540,7 +543,7 @@ def update_phase_math(actor, critic, actor_t, critic_t, m_a, v_a, m_c,
 
 def _update_kernel(hidden, na: int, nc: int, nb: int, gamma: float,
                    tau: float, actor_lr: float, critic_lr: float,
-                   inv_bm: float, k_updates: int, *refs):
+                   inv_bm: float, k_updates: int, merged: bool, *refs):
     n_par = 4 * na + 4 * nc
     obs_ref, nobs_ref, act_ref, rew_ref, done_ref = refs[:5]
     par_in = refs[5:5 + n_par]
@@ -571,73 +574,87 @@ def _update_kernel(hidden, na: int, nc: int, nb: int, gamma: float,
     obs = obs_ref[0]
     act = act_ref[0]
 
-    @pl.when(ph == 0)
-    def _critic_phase():
-        grads, closs = critic_phase_block(
+    def accumulate(acc, grads, loss_acc, tile):
+        @pl.when(j == 0)
+        def _first():
+            for dst, g in zip(acc, grads):
+                dst[:] = g
+            loss_acc[:] = tile
+
+        @pl.when(j > 0)
+        def _rest():
+            for dst, g in zip(acc, grads):
+                dst[:] = dst[:] + g
+            loss_acc[:] = loss_acc[:] + tile
+
+    def apply_adam(params, ms, vs, acc, lr):
+        tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
+        for p, m, v, g in zip(params, ms, vs, acc):
+            pn, mn, vn = adam_step(p[:], m[:], v[:], g[:], tk, lr)
+            p[:] = pn
+            m[:] = mn
+            v[:] = vn
+
+    def polyak_and_losses():
+        for tr, on in zip(at_s, a_s):
+            tr[:] = tr[:] + np.float32(tau) * (on[:] - tr[:])
+        for tr, on in zip(ct_s, c_s):
+            tr[:] = tr[:] + np.float32(tau) * (on[:] - tr[:])
+        losses_ref[0] = jnp.concatenate(
+            [closs_s[:], aloss_s[:],
+             jnp.zeros((6, 128), jnp.float32)], axis=0)
+
+    if merged:
+        # actor_grad_critic="pre": both gradients from the SAME critic
+        # per block — one phase per update, obs/nobs read once, half
+        # the grid steps.
+        cgrads, closs = critic_phase_block(
             [r[:] for r in at_s], [r[:] for r in c_s],
             [r[:] for r in ct_s], obs, nobs_ref[0], act, rew_ref[0],
             done_ref[0], gamma, inv_bm, hidden)
-        tile = jnp.full((1, 128), closs, jnp.float32)
-
-        @pl.when(j == 0)
-        def _first():
-            for dst, g in zip(acc_c, grads):
-                dst[:] = g
-            closs_s[:] = tile
-
-        @pl.when(j > 0)
-        def _rest():
-            for dst, g in zip(acc_c, grads):
-                dst[:] = dst[:] + g
-            closs_s[:] = closs_s[:] + tile
-
-        @pl.when(j == nb - 1)
-        def _apply():
-            tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
-            for p, m, v, g in zip(c_s, mc_s, vc_s, acc_c):
-                pn, mn, vn = adam_step(p[:], m[:], v[:], g[:], tk,
-                                       critic_lr)
-                p[:] = pn
-                m[:] = mn
-                v[:] = vn
-
-    @pl.when(ph == 1)
-    def _actor_phase():
-        grads, aloss = actor_phase_block(
+        agrads, aloss = actor_phase_block(
             [r[:] for r in a_s], [r[:] for r in c_s], obs, inv_bm,
             hidden)
-        tile = jnp.full((1, 128), aloss, jnp.float32)
-
-        @pl.when(j == 0)
-        def _first():
-            for dst, g in zip(acc_a, grads):
-                dst[:] = g
-            aloss_s[:] = tile
-
-        @pl.when(j > 0)
-        def _rest():
-            for dst, g in zip(acc_a, grads):
-                dst[:] = dst[:] + g
-            aloss_s[:] = aloss_s[:] + tile
+        accumulate(acc_c, cgrads, closs_s,
+                   jnp.full((1, 128), closs, jnp.float32))
+        accumulate(acc_a, agrads, aloss_s,
+                   jnp.full((1, 128), aloss, jnp.float32))
 
         @pl.when(j == nb - 1)
-        def _apply():
-            tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
-            for p, m, v, g in zip(a_s, ma_s, va_s, acc_a):
-                pn, mn, vn = adam_step(p[:], m[:], v[:], g[:], tk,
-                                       actor_lr)
-                p[:] = pn
-                m[:] = mn
-                v[:] = vn
-            for tr, on in zip(at_s, a_s):
-                tr[:] = tr[:] + np.float32(tau) * (on[:] - tr[:])
-            for tr, on in zip(ct_s, c_s):
-                tr[:] = tr[:] + np.float32(tau) * (on[:] - tr[:])
-            losses_ref[0] = jnp.concatenate(
-                [closs_s[:], aloss_s[:],
-                 jnp.zeros((6, 128), jnp.float32)], axis=0)
+        def _apply_merged():
+            apply_adam(c_s, mc_s, vc_s, acc_c, critic_lr)
+            apply_adam(a_s, ma_s, va_s, acc_a, actor_lr)
+            polyak_and_losses()
+    else:
+        @pl.when(ph == 0)
+        def _critic_phase():
+            grads, closs = critic_phase_block(
+                [r[:] for r in at_s], [r[:] for r in c_s],
+                [r[:] for r in ct_s], obs, nobs_ref[0], act, rew_ref[0],
+                done_ref[0], gamma, inv_bm, hidden)
+            accumulate(acc_c, grads, closs_s,
+                       jnp.full((1, 128), closs, jnp.float32))
 
-    @pl.when((kk == k_updates - 1) & (ph == 1) & (j == nb - 1))
+            @pl.when(j == nb - 1)
+            def _apply():
+                apply_adam(c_s, mc_s, vc_s, acc_c, critic_lr)
+
+        @pl.when(ph == 1)
+        def _actor_phase():
+            grads, aloss = actor_phase_block(
+                [r[:] for r in a_s], [r[:] for r in c_s], obs, inv_bm,
+                hidden)
+            accumulate(acc_a, grads, aloss_s,
+                       jnp.full((1, 128), aloss, jnp.float32))
+
+            @pl.when(j == nb - 1)
+            def _apply():
+                apply_adam(a_s, ma_s, va_s, acc_a, actor_lr)
+                polyak_and_losses()
+
+    last_ph = 0 if merged else 1
+
+    @pl.when((kk == k_updates - 1) & (ph == last_ph) & (j == nb - 1))
     def _finalize():
         for dst, src in zip(outs, par_s):
             dst[:] = src[:]
@@ -647,7 +664,8 @@ def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
                       batch_size: int, *, actor_lr: float,
                       critic_lr: float, gamma: float, tau: float,
                       block_size: int = 512, interpret: bool = False,
-                      mm_precision: str | None = None):
+                      mm_precision: str | None = None,
+                      actor_grad_critic: str = "updated"):
     """Builder: one pallas_call covering the whole K-update DDPG learner
     phase.
 
@@ -673,9 +691,10 @@ def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
                          f"block {blk}")
     nb = batch_size // blk
 
+    merged = actor_grad_critic == "pre"
     kernel = functools.partial(_update_kernel, hidden, na, nc, nb,
                                gamma, tau, actor_lr, critic_lr,
-                               1.0 / batch_size, k_updates)
+                               1.0 / batch_size, k_updates, merged)
 
     def batch_spec(width):
         return pl.BlockSpec((1, blk, width), lambda k, ph, j: (k, j, 0),
@@ -708,7 +727,7 @@ def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
     )
     call = pl.pallas_call(
         kernel,
-        grid=(k_updates, 2, nb),
+        grid=(k_updates, 1 if merged else 2, nb),
         in_specs=in_specs,
         out_shape=out_shape,
         out_specs=out_specs,

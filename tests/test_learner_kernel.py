@@ -197,10 +197,36 @@ def test_kernel_learner_rejects_uncovered_config():
     env = CartPole3D(continuous_params(), num_envs=8)
     with pytest.raises(ValueError):
         DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
-                             actor_grad_critic="pre", learner="kernel"))
+                             polyak_cadence="per_step", learner="kernel"))
     agent = DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
-                                 actor_grad_critic="pre"))
+                                 polyak_cadence="per_step"))
     assert not agent.kernel_learner_ok() and not agent.kernel_mode
+
+
+def test_train_step_kernel_learner_pre_mode_matches_xla():
+    """The merged single-phase kernel (actor_grad_critic='pre': both
+    gradients from the same critic, one grid phase per update) must
+    match the XLA agent configured with the same knob."""
+    cfg = dict(hidden=(32, 32), batch_size=64, rollout_steps=8,
+               updates_per_step=2, warmup_env_steps=8, learner_block=32,
+               actor_grad_critic="pre")
+    env = CartPole3D(continuous_params(), num_envs=64)
+    ag_x = DDPG(env, DDPGConfig(learner="xla", **cfg))
+    ag_k = DDPG(env, DDPGConfig(learner="kernel", **cfg))
+    st_x, st_k = ag_x.init(0), ag_k.init(0)
+    ts_x = ag_x.make_train_step(fused=False)
+    ts_k = ag_k.make_train_step(fused=False)
+    for _ in range(4):
+        st_x, m_x = ts_x(st_x)
+        st_k, m_k = ts_k(st_k)
+    tree_k = ag_k.state_to_tree(st_k)
+    tol = dict(rtol=2e-4, atol=1e-5)
+    for name in ("actor", "critic", "actor_target", "critic_target"):
+        _assert_tree_close(getattr(tree_k, name), getattr(st_x, name),
+                           **tol)
+    for key in ("critic_loss", "actor_loss"):
+        np.testing.assert_allclose(np.asarray(m_k[key]),
+                                   np.asarray(m_x[key]), **tol)
 
 
 def test_kernel_interpret_matches_math_twin():
@@ -464,3 +490,17 @@ def test_naf_train_step_kernel_learner_matches_xla_learner():
                                    np.asarray(m_x[key]), **tol)
     stats = jax.jit(lambda s: ag_k.evaluate(s, num_steps=16))(st_k)
     assert np.isfinite(float(stats["reward_mean"]))
+
+
+def test_kernel_mode_excluded_under_shard_map_axis():
+    """Gradients cannot pmean inside a pallas_call, so agents built for
+    shard_map (dist_axis set) must resolve learner='auto' to the XLA
+    path, and explicit learner='kernel' must be rejected."""
+    env = CartPole3D(continuous_params(), num_envs=16)
+    ag = DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16),
+              dist_axis="data", num_shards=2)
+    assert not ag.kernel_mode
+    with pytest.raises(ValueError):
+        DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
+                             learner="kernel"),
+             dist_axis="data", num_shards=2)
