@@ -52,6 +52,8 @@ def main():
         return bench_ddpg(num_envs, num_steps)
     if config == "dqn":
         return bench_dqn(num_envs, num_steps)
+    if config == "naf":
+        return bench_naf(num_envs, num_steps)
     if config == "pixels":
         return bench_pixels(num_envs, num_steps)
     params = continuous_params() if config == "continuous" \
@@ -236,6 +238,54 @@ def bench_dqn(num_envs: int, num_steps: int):
                       "batch_size": batch, "n_calls": n_calls,
                       "best_s": round(best, 3),
                       "fused": agent.fusable()}), file=sys.stderr)
+
+
+def bench_naf(num_envs: int, num_steps: int):
+    """End-to-end NAF actor-learner env-steps/s: fused mu-in-the-loop
+    Pallas rollout + device replay insert + K quadratic-advantage TD
+    updates (the fused update kernel under BENCH_NAF_LEARNER=kernel/auto,
+    the XLA scan under =xla)."""
+    import time
+
+    import jax
+
+    from cartpoleplusplus_tpu import CartPole3D
+    from cartpoleplusplus_tpu.agents import NAF, NAFConfig
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    rollout = int(os.environ.get("BENCH_NAF_ROLLOUT", "64"))
+    updates = int(os.environ.get("BENCH_NAF_UPDATES", "8"))
+    batch = int(os.environ.get("BENCH_NAF_BATCH", "8192"))
+    learner = os.environ.get("BENCH_NAF_LEARNER", "auto")
+    env = CartPole3D(continuous_params(), num_envs=num_envs)
+    agent = NAF(env, NAFConfig(rollout_steps=rollout,
+                               updates_per_step=updates,
+                               batch_size=batch, warmup_env_steps=0,
+                               learner=learner))
+    st = agent.init(0)
+    step = agent.make_train_step()
+    st, m = step(st)
+    _ = float(m["reward_mean"])
+    n_calls = max(num_steps // rollout, 1)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            st, m = step(st)
+        _ = float(m["reward_mean"])
+        best = min(best, time.perf_counter() - t0)
+    rate = n_calls * rollout * num_envs / best
+    print(json.dumps({
+        "metric": f"naf_train_env_steps_per_sec_{num_envs}envs",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / 10_000_000.0, 4),
+    }))
+    print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
+                      "batch_size": batch, "learner": learner,
+                      "kernel_mode": agent.kernel_mode,
+                      "n_calls": n_calls, "best_s": round(best, 3)}),
+          file=sys.stderr)
 
 
 def bench_pixels(num_envs: int, num_steps: int):
