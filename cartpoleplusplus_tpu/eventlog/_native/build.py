@@ -66,5 +66,11 @@ def load():
     lib.eventlog_episode_index.restype = ctypes.c_int64
     lib.eventlog_episode_index.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32]
+    lib.eventlog_write_rollout.restype = ctypes.c_int64
+    lib.eventlog_write_rollout.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib

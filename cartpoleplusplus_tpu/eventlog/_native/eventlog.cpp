@@ -24,15 +24,25 @@ constexpr uint32_t kVersion = 1;
 constexpr uint32_t kKindEpisode = 1;
 constexpr uint32_t kKindMetadata = 2;
 
-// IEEE 802.3 CRC32 (zlib-compatible), table-driven.
-uint32_t* crc_table() {
-  static uint32_t table[256];
+// IEEE 802.3 CRC32 (zlib-compatible), slicing-by-8: processes 8 bytes
+// per iteration through 8 derived tables (~6-8x the 1-byte/iteration
+// form — the CRC was the sink's throughput ceiling once segmentation
+// moved native).
+const uint32_t (*crc_tables())[256] {
+  static uint32_t table[8][256];
   static bool init = false;
   if (!init) {
     for (uint32_t i = 0; i < 256; ++i) {
       uint32_t c = i;
       for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-      table[i] = c;
+      table[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = table[0][i];
+      for (int s = 1; s < 8; ++s) {
+        c = table[0][c & 0xFF] ^ (c >> 8);
+        table[s][i] = c;
+      }
     }
     init = true;
   }
@@ -40,9 +50,20 @@ uint32_t* crc_table() {
 }
 
 uint32_t crc32_update(uint32_t crc, const uint8_t* buf, size_t len) {
-  uint32_t* t = crc_table();
+  const uint32_t(*t)[256] = crc_tables();
   crc ^= 0xFFFFFFFFu;
-  for (size_t i = 0; i < len; ++i) crc = t[(crc ^ buf[i]) & 0xFF] ^ (crc >> 8);
+  while (len >= 8) {
+    uint32_t lo, hi;
+    std::memcpy(&lo, buf, 4);
+    std::memcpy(&hi, buf + 4, 4);
+    lo ^= crc;
+    crc = t[7][lo & 0xFF] ^ t[6][(lo >> 8) & 0xFF] ^ t[5][(lo >> 16) & 0xFF] ^
+          t[4][lo >> 24] ^ t[3][hi & 0xFF] ^ t[2][(hi >> 8) & 0xFF] ^
+          t[1][(hi >> 16) & 0xFF] ^ t[0][hi >> 24];
+    buf += 8;
+    len -= 8;
+  }
+  while (len--) crc = t[0][(crc ^ *buf++) & 0xFF] ^ (crc >> 8);
   return crc ^ 0xFFFFFFFFu;
 }
 
@@ -117,6 +138,9 @@ int eventlog_write_metadata(void* handle, const char* json, uint32_t json_len) {
 
 // Arrays are column-major per chunk: state[T*D], action[T*A], reward[T],
 // done[T], frames[T*F] (frames may be null when frame_len == 0).
+// Streamed: the record length is computable up front, so each array is
+// CRC'd and fwritten directly — no staging copy (the copy + 1-byte CRC
+// were the sink's bandwidth ceiling; docs/design.md §13).
 int eventlog_write_chunk(void* handle, uint64_t episode_id, uint32_t env_id,
                          uint32_t num_steps, uint32_t state_dim,
                          uint32_t action_dim, uint32_t frame_len,
@@ -124,18 +148,91 @@ int eventlog_write_chunk(void* handle, uint64_t episode_id, uint32_t env_id,
                          const float* reward, const uint8_t* done,
                          const uint8_t* frames) {
   Writer* w = static_cast<Writer*>(handle);
-  append_scalar<uint64_t>(w->buf, episode_id);
-  append_scalar<uint32_t>(w->buf, env_id);
-  append_scalar<uint32_t>(w->buf, num_steps);
-  append_scalar<uint32_t>(w->buf, state_dim);
-  append_scalar<uint32_t>(w->buf, action_dim);
-  append_scalar<uint32_t>(w->buf, frame_len);
-  append(w->buf, state, sizeof(float) * num_steps * state_dim);
-  append(w->buf, action, sizeof(float) * num_steps * action_dim);
-  append(w->buf, reward, sizeof(float) * num_steps);
-  append(w->buf, done, num_steps);
-  if (frame_len) append(w->buf, frames, (size_t)num_steps * frame_len);
-  return write_record(w, kKindEpisode);
+  const size_t t = num_steps;
+  uint8_t head[28];
+  std::memcpy(head, &episode_id, 8);
+  std::memcpy(head + 8, &env_id, 4);
+  std::memcpy(head + 12, &num_steps, 4);
+  std::memcpy(head + 16, &state_dim, 4);
+  std::memcpy(head + 20, &action_dim, 4);
+  std::memcpy(head + 24, &frame_len, 4);
+  const struct {
+    const void* p;
+    size_t n;
+  } parts[] = {
+      {head, sizeof(head)},
+      {state, sizeof(float) * t * state_dim},
+      {action, sizeof(float) * t * action_dim},
+      {reward, sizeof(float) * t},
+      {done, t},
+      {frames, frame_len ? (size_t)t * frame_len : 0},
+  };
+  uint64_t len = 0;
+  for (const auto& part : parts) len += part.n;
+  uint32_t kind = kKindEpisode;
+  if (fwrite(&kind, 4, 1, w->f) != 1) return -1;
+  if (fwrite(&len, 8, 1, w->f) != 1) return -1;
+  // Incremental zlib-style CRC: chain the finalized value through
+  // (crc32(b, a || b) == crc32_update(crc32(a), b) in zlib semantics).
+  uint32_t crc = 0;
+  for (const auto& part : parts) {
+    if (!part.n) continue;
+    crc = crc32_update(crc, static_cast<const uint8_t*>(part.p), part.n);
+    if (fwrite(part.p, 1, part.n, w->f) != part.n) return -1;
+  }
+  if (fwrite(&crc, 4, 1, w->f) != 1) return -1;
+  return 0;
+}
+
+// The whole per-train-step trace path in one call: split a fetched
+// rollout chunk (batch-major arrays over B envs x T steps) into per-env
+// episode segments at `done` boundaries and write one episode-chunk
+// record per segment, advancing the per-env episode counters in place.
+//
+// This replaces EpisodeSink.add_rollout's per-env Python loop — the
+// host-side sink ceiling documented in docs/design.md §13 was ~0.25M
+// env-steps/s and was dominated by B Python iterations per train step,
+// not by IO. Segmentation semantics are EXACTLY the Python sink's
+// (byte-identical files, tests assert it): segments end after each done
+// step; a trailing unfinished segment is written without advancing the
+// episode id.
+//
+// state (B,T,D) f32; action (B,T,A) f32; reward (B,T) f32; done (B,T)
+// u8; frames (B,T,F) u8 or null. Returns the number of chunk records
+// written, or -1 on IO error.
+int64_t eventlog_write_rollout(void* handle, int64_t* episode_ids,
+                               uint32_t num_envs, uint32_t num_steps,
+                               uint32_t state_dim, uint32_t action_dim,
+                               uint32_t frame_len, const float* state,
+                               const float* action, const float* reward,
+                               const uint8_t* done, const uint8_t* frames) {
+  int64_t written = 0;
+  const size_t t = num_steps;
+  for (uint32_t env = 0; env < num_envs; ++env) {
+    const float* st = state + (size_t)env * t * state_dim;
+    const float* ac = action + (size_t)env * t * action_dim;
+    const float* rw = reward + (size_t)env * t;
+    const uint8_t* dn = done + (size_t)env * t;
+    const uint8_t* fr = frames ? frames + (size_t)env * t * frame_len
+                               : nullptr;
+    size_t start = 0;
+    while (start < t) {
+      size_t end = start;
+      while (end < t && !dn[end]) ++end;
+      bool finished = end < t;  // dn[end] is the terminal step
+      if (finished) ++end;      // segment includes the done step
+      int rc = eventlog_write_chunk(
+          handle, (uint64_t)episode_ids[env], env, (uint32_t)(end - start),
+          state_dim, action_dim, frame_len, st + start * state_dim,
+          ac + start * action_dim, rw + start, dn + start,
+          fr ? fr + start * frame_len : nullptr);
+      if (rc != 0) return -1;
+      ++written;
+      if (finished) ++episode_ids[env];
+      start = end;
+    }
+  }
+  return written;
 }
 
 int eventlog_close(void* handle) {

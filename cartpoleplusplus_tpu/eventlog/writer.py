@@ -261,6 +261,36 @@ class EpisodeSink:
         if frames is not None:
             frames = np.ascontiguousarray(np.moveaxis(np.asarray(frames),
                                                       0, 1))
+        if self.writer._native is not None:
+            # The whole segmentation + serialization path in one native
+            # call (byte-identical records; episode counters advanced in
+            # place) — the Python loop below was the ~0.25M env-steps/s
+            # sink ceiling of docs/design.md §13.
+            import ctypes
+
+            state = np.ascontiguousarray(state.reshape(b, t, -1),
+                                         np.float32)
+            if action.ndim == 2:
+                action = action[:, :, None]
+            action = np.ascontiguousarray(action.astype(np.float32))
+            fr = (np.ascontiguousarray(frames.reshape(b, t, -1))
+                  if frames is not None else None)
+            done_u8 = np.ascontiguousarray(done_b.astype(np.uint8))
+            n = self.writer._native.eventlog_write_rollout(
+                self.writer._handle,
+                self.episode_ids.ctypes.data_as(ctypes.c_void_p),
+                np.uint32(b), np.uint32(t),
+                np.uint32(state.shape[2]), np.uint32(action.shape[2]),
+                np.uint32(fr.shape[2] if fr is not None else 0),
+                state.ctypes.data_as(ctypes.c_void_p),
+                action.ctypes.data_as(ctypes.c_void_p),
+                reward_b.ctypes.data_as(ctypes.c_void_p),
+                done_u8.ctypes.data_as(ctypes.c_void_p),
+                fr.ctypes.data_as(ctypes.c_void_p) if fr is not None
+                else None)
+            if n < 0:
+                raise OSError("rollout write failed")
+            return
         for env in range(b):
             bounds = np.flatnonzero(done_b[env])
             start = 0

@@ -179,3 +179,35 @@ def test_next_episode_ids_seeds_resume(tmp_path):
     chunks = [r for k, r in read_records(str(p)) if k == "chunk"]
     pairs = [(c["env_id"], c["episode_id"]) for c in chunks]
     assert len(pairs) == len(set(pairs))  # all (env, episode) unique
+
+
+def test_native_rollout_sink_bytes_match_python_sink(tmp_path):
+    """eventlog_write_rollout (C++ segmentation of a whole fetched
+    rollout chunk) must produce byte-identical files and episode
+    counters to the per-env Python sink loop."""
+    rng = np.random.RandomState(3)
+    t, b, d = 17, 6, 5
+    state = rng.randn(t, b, d).astype(np.float32)
+    action = rng.randn(t, b, 2).astype(np.float32)
+    reward = rng.rand(t, b).astype(np.float32)
+    done = rng.rand(t, b) < 0.2
+    done[-1, 0] = True   # boundary exactly at the chunk end
+    done[:, 1] = False   # an env with no boundary at all
+
+    paths, ids = [], []
+    for use_native in (True, False):
+        p = tmp_path / f"sink_{use_native}.cpe"
+        w = EventLogWriter(str(p), metadata={"k": 1},
+                           use_native=use_native)
+        if use_native and w.backend != "native":
+            pytest.skip("no native engine in this environment")
+        sink = EpisodeSink(w, num_envs=b,
+                           initial_episode_ids=np.arange(b))
+        sink.add_rollout(state, action, reward, done)
+        sink.add_rollout(state, action, reward, done)  # counters carry
+        w.close()
+        paths.append(p)
+        ids.append(sink.episode_ids.copy())
+    np.testing.assert_array_equal(ids[0], ids[1])
+    assert paths[0].read_bytes() == paths[1].read_bytes()
+    assert validate(str(paths[0])) >= 1
