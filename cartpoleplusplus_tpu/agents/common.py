@@ -113,16 +113,20 @@ def replay_presample(replay, sample_mode: str, batch_size: int,
     learner is renderer-bound anyway; the update body then receives the
     raw key and samples inside the scan as before.
 
-    Column mode with whole-column batches (batch % num_envs == 0, no
-    shard fold) takes ReplayBuffer.presample_columns — ONE gather per
-    ring buffer instead of K vmapped dynamic-slice chains, bitwise the
-    same batches."""
+    Without a shard fold the K draws collapse into ONE gather per ring
+    buffer instead of K vmapped slice/gather chains, bitwise the same
+    batches: ReplayBuffer.presample_columns for whole-column batches
+    (batch % num_envs == 0), presample_uniform for the uniform mode."""
     if replay.quantize_obs:
         return None
     bs = local_batch(batch_size, num_shards)
-    if (sample_mode == "column" and dist_axis is None
-            and bs % replay.num_envs == 0):
-        return lambda s, keys: replay.presample_columns(s.replay, keys, bs)
+    if dist_axis is None:
+        if sample_mode == "column" and bs % replay.num_envs == 0:
+            return lambda s, keys: replay.presample_columns(s.replay,
+                                                            keys, bs)
+        if sample_mode == "uniform":
+            return lambda s, keys: replay.presample_uniform(s.replay,
+                                                            keys, bs)
     one = replay_sampler(replay, sample_mode, batch_size, num_shards,
                          dist_axis)
     return lambda s, keys: jax.vmap(one, in_axes=(None, 0))(s.replay, keys)

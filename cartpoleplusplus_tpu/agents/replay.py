@@ -283,6 +283,38 @@ class ReplayBuffer:
         return (obs, take(rs.action, flat), take(rs.reward, flat),
                 next_obs, take(rs.done, flat))
 
+    def presample_uniform(self, rs: ReplayState, keys, batch_size: int):
+        """All K uniform minibatches as ONE flat gather per ring buffer —
+        bitwise-equivalent to `jax.vmap(sample)` over the K per-update
+        keys (same (env, slot) draws), but the K x batch per-row gathers
+        collapse into a single take over env*capacity-flattened buffers."""
+        k_updates = keys.shape[0]
+
+        def draw(key):
+            k_env, k_slot = jax.random.split(key)
+            env_idx = jax.random.randint(k_env, (batch_size,), 0,
+                                         self.num_envs)
+            n_valid = jnp.maximum(rs.filled - 1, 1)
+            age = jax.random.randint(k_slot, (batch_size,), 1, n_valid + 1)
+            slot = (rs.cursor - 1 - age) % self.capacity
+            return env_idx, slot
+
+        env_idx, slot = jax.vmap(draw)(keys)        # (K, Bm) each — tiny
+        flat = (env_idx * self.capacity + slot).reshape(-1)
+        flat_next = (env_idx * self.capacity
+                     + (slot + 1) % self.capacity).reshape(-1)
+
+        def take(buf, idx):
+            flat_buf = buf.reshape((self.num_envs * self.capacity,)
+                                   + buf.shape[2:])
+            return jnp.take(flat_buf, idx, axis=0).reshape(
+                (k_updates, batch_size) + buf.shape[2:])
+
+        obs = self._decode_obs(take(rs.obs, flat))
+        next_obs = self._decode_obs(take(rs.obs, flat_next))
+        return (obs, take(rs.action, flat), take(rs.reward, flat),
+                next_obs, take(rs.done, flat))
+
     def sample(self, rs: ReplayState, key, batch_size: int):
         """Uniform minibatch of (obs, action, reward, next_obs, done).
 

@@ -423,3 +423,25 @@ def test_presample_columns_bitwise_matches_vmapped_sampling():
                             in_axes=(None, 0)))(rs, keys)
     for f, s in zip(fast, slow):
         np.testing.assert_array_equal(np.asarray(f), np.asarray(s))
+
+
+def test_presample_uniform_bitwise_matches_vmapped_sampling():
+    """ReplayBuffer.presample_uniform (one flat gather per buffer) must
+    produce bitwise the batches of vmap(sample) over the K update keys."""
+    rb = ReplayBuffer(num_envs=8, capacity_per_env=16, obs_dim=4,
+                      discrete=True)
+    rs = rb.init()
+    add = jax.jit(rb.add)
+    rng = np.random.RandomState(1)
+    for t in range(20):
+        rs = add(rs,
+                 jnp.asarray(rng.randn(8, 4), jnp.float32),
+                 jnp.asarray(rng.randint(0, 5, 8), jnp.int32),
+                 jnp.asarray(rng.rand(8), jnp.float32),
+                 jnp.asarray(rng.rand(8) < 0.2))
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    fast = jax.jit(lambda r, k: rb.presample_uniform(r, k, 24))(rs, keys)
+    slow = jax.jit(jax.vmap(lambda r, k: rb.sample(r, k, 24),
+                            in_axes=(None, 0)))(rs, keys)
+    for f, s in zip(fast, slow):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(s))
