@@ -504,3 +504,31 @@ def test_kernel_mode_excluded_under_shard_map_axis():
         DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
                              learner="kernel"),
              dist_axis="data", num_shards=2)
+
+
+def test_fused_rollout_accepts_kernel_flat_actor_params():
+    """The policy_rollout feature-major flatten must produce identical
+    operands from the kernel-mode flat layout and from the flax tree —
+    this is the path kernel-mode DDPG's fused rollout takes on TPU."""
+    from cartpoleplusplus_tpu.ops.policy_rollout import (
+        _flatten_actor_params, _flatten_naf_params)
+
+    agent = _agent()
+    st = agent.init(0)
+    h = agent.cfg.hidden
+    tree_ops = _flatten_actor_params(st.actor, h)
+    flat_ops = _flatten_actor_params(lk.flatten_actor(st.actor, h), h)
+    _assert_tree_close(flat_ops, tree_ops)
+
+    naf = _naf_agent()
+    stn = naf.init(0)
+    tree_ops = _flatten_naf_params(stn.params, h)
+    flat_ops = _flatten_naf_params(lk.flatten_naf(stn.params, h), h)
+    _assert_tree_close(flat_ops, tree_ops)
+
+    from cartpoleplusplus_tpu.ops.policy_rollout import _flatten_q_params
+    dqn = _dqn_agent()
+    std = dqn.init(0)
+    tree_ops = _flatten_q_params(std.q, h)
+    flat_ops = _flatten_q_params(lk.flatten_actor(std.q, h), h)
+    _assert_tree_close(flat_ops, tree_ops)
