@@ -532,3 +532,34 @@ def test_fused_rollout_accepts_kernel_flat_actor_params():
     tree_ops = _flatten_q_params(std.q, h)
     flat_ops = _flatten_q_params(lk.flatten_actor(std.q, h), h)
     _assert_tree_close(flat_ops, tree_ops)
+
+
+def test_kernel_learner_bf16_precision_stays_close():
+    """learner_precision='bfloat16' (one MXU pass per in-kernel dot on
+    hardware) must keep the kernel learner within bf16-mantissa distance
+    of the f32 XLA scan over a few train steps — the knob changes dot
+    rounding, never the update algebra. On CPU interpret the precision
+    hint is advisory (may be a no-op), so the tolerance is an upper
+    bound; the test's real job is exercising the config plumbing end to
+    end and catching any NaN/shape break in the bf16 trace path."""
+    cfg = dict(hidden=(32, 32), batch_size=64, rollout_steps=8,
+               updates_per_step=2, warmup_env_steps=8, learner_block=32)
+    env = CartPole3D(continuous_params(), num_envs=64)
+    ag_x = DDPG(env, DDPGConfig(learner="xla", **cfg))
+    ag_k = DDPG(env, DDPGConfig(learner="kernel",
+                                learner_precision="bfloat16", **cfg))
+    st_x, st_k = ag_x.init(0), ag_k.init(0)
+    ts_x = ag_x.make_train_step(fused=False)
+    ts_k = ag_k.make_train_step(fused=False)
+    for _ in range(4):
+        st_x, m_x = ts_x(st_x)
+        st_k, m_k = ts_k(st_k)
+    tree_k = ag_k.state_to_tree(st_k)
+    tol = dict(rtol=2e-2, atol=2e-3)  # bf16 has ~8 mantissa bits
+    for name in ("actor", "critic", "actor_target", "critic_target"):
+        _assert_tree_close(getattr(tree_k, name), getattr(st_x, name),
+                           **tol)
+    for key in ("critic_loss", "actor_loss", "reward_mean"):
+        v = float(np.asarray(m_k[key]))
+        assert np.isfinite(v)
+        np.testing.assert_allclose(v, float(np.asarray(m_x[key])), **tol)
