@@ -127,6 +127,40 @@ def verify_kernel_parity(env, num_steps: int = 64) -> str:
         return f"error:{type(e).__name__}"
 
 
+def _time_train(agent, rollout: int, num_envs: int, num_steps: int,
+                trials: int = 3):
+    """Time an agent's end-to-end train loop: BENCH_SCAN train steps per
+    jitted dispatch (agents.make_train_scan; default 8 — each dispatch
+    carries a fixed enqueue cost that is the same order as the work at
+    the headline cadence, BASELINE.md round-2 dispatch-amortization row;
+    BENCH_SCAN=1 falls back to one jit call per train step). Returns
+    (env_steps_per_sec, info dict). D2H-synced by a metric read."""
+    import time
+
+    scan = max(int(os.environ.get("BENCH_SCAN", "8")), 1)
+    n_calls = max(num_steps // rollout, 1)
+    n_dispatch = max(n_calls // scan, 1)
+    st = agent.init(0)
+    if scan > 1:
+        step = agent.make_train_scan(scan)
+        sync = lambda m: float(m["reward_mean"][-1])  # noqa: E731
+    else:
+        step = agent.make_train_step()
+        sync = lambda m: float(m["reward_mean"])  # noqa: E731
+    st, m = step(st)
+    _ = sync(m)  # D2H sync after compile
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n_dispatch):
+            st, m = step(st)
+        _ = sync(m)
+        best = min(best, time.perf_counter() - t0)
+    rate = n_dispatch * scan * rollout * num_envs / best
+    return rate, {"scan": scan, "n_dispatch": n_dispatch,
+                  "best_s": round(best, 3)}
+
+
 def bench_ddpg(num_envs: int, num_steps: int):
     """End-to-end DDPG actor-learner env-steps/s (VERDICT round-1 top
     item): full train_step = fused Pallas actor rollout + device replay
@@ -134,7 +168,6 @@ def bench_ddpg(num_envs: int, num_steps: int):
     pole (BASELINE.md round-2 learning table). Timing is synchronized by
     a device->host metric read (the tunneled platform's
     block_until_ready returns on enqueue)."""
-    import time
 
     import jax
 
@@ -164,19 +197,7 @@ def bench_ddpg(num_envs: int, num_steps: int):
                                  dtype=dtype, actor_grad_critic=agc,
                                  polyak_cadence=pol, learner=learner,
                                  learner_precision=kprec))
-    st = agent.init(0)
-    step = agent.make_train_step()  # auto-selects the fused kernel on TPU
-    st, m = step(st)
-    _ = float(m["reward_mean"])  # D2H sync after compile
-    n_calls = max(num_steps // rollout, 1)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            st, m = step(st)
-        _ = float(m["reward_mean"])
-        best = min(best, time.perf_counter() - t0)
-    rate = n_calls * rollout * num_envs / best
+    rate, info = _time_train(agent, rollout, num_envs, num_steps)
     target = 10_000_000.0
     print(json.dumps({
         "metric": f"ddpg_train_env_steps_per_sec_{num_envs}envs",
@@ -187,10 +208,10 @@ def bench_ddpg(num_envs: int, num_steps: int):
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
                       "batch_size": batch, "dtype": dtype,
                       "actor_grad_critic": agc, "polyak_cadence": pol,
-                      "n_calls": n_calls, "best_s": round(best, 3),
                       "fused": agent.fusable(),
                       "learner": learner,
-                      "kernel_learner_ok": agent.kernel_learner_ok()}),
+                      "kernel_learner_ok": agent.kernel_learner_ok(),
+                      **info}),
           file=sys.stderr)
 
 
@@ -198,7 +219,6 @@ def bench_dqn(num_envs: int, num_steps: int):
     """End-to-end DQN train env-steps/s: fused Pallas epsilon-greedy
     Q rollout + device replay insert + TD updates (the discrete config-2
     twin of bench_ddpg; same D2H-sync timing methodology)."""
-    import time
 
     import jax  # noqa: F401 — backend init before agent build
 
@@ -214,19 +234,7 @@ def bench_dqn(num_envs: int, num_steps: int):
                                updates_per_step=updates,
                                batch_size=batch, warmup_env_steps=0,
                                learner=learner))
-    st = agent.init(0)
-    step = agent.make_train_step()  # auto-selects the fused kernel on TPU
-    st, m = step(st)
-    _ = float(m["reward_mean"])  # D2H sync after compile
-    n_calls = max(num_steps // rollout, 1)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            st, m = step(st)
-        _ = float(m["reward_mean"])
-        best = min(best, time.perf_counter() - t0)
-    rate = n_calls * rollout * num_envs / best
+    rate, info = _time_train(agent, rollout, num_envs, num_steps)
     target = 10_000_000.0
     print(json.dumps({
         "metric": f"dqn_train_env_steps_per_sec_{num_envs}envs",
@@ -235,9 +243,8 @@ def bench_dqn(num_envs: int, num_steps: int):
         "vs_baseline": round(rate / target, 4),
     }))
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
-                      "batch_size": batch, "n_calls": n_calls,
-                      "best_s": round(best, 3),
-                      "fused": agent.fusable()}), file=sys.stderr)
+                      "batch_size": batch,
+                      "fused": agent.fusable(), **info}), file=sys.stderr)
 
 
 def bench_naf(num_envs: int, num_steps: int):
@@ -245,7 +252,6 @@ def bench_naf(num_envs: int, num_steps: int):
     Pallas rollout + device replay insert + K quadratic-advantage TD
     updates (the fused update kernel under BENCH_NAF_LEARNER=kernel/auto,
     the XLA scan under =xla)."""
-    import time
 
     import jax
 
@@ -262,19 +268,7 @@ def bench_naf(num_envs: int, num_steps: int):
                                updates_per_step=updates,
                                batch_size=batch, warmup_env_steps=0,
                                learner=learner))
-    st = agent.init(0)
-    step = agent.make_train_step()
-    st, m = step(st)
-    _ = float(m["reward_mean"])
-    n_calls = max(num_steps // rollout, 1)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            st, m = step(st)
-        _ = float(m["reward_mean"])
-        best = min(best, time.perf_counter() - t0)
-    rate = n_calls * rollout * num_envs / best
+    rate, info = _time_train(agent, rollout, num_envs, num_steps)
     print(json.dumps({
         "metric": f"naf_train_env_steps_per_sec_{num_envs}envs",
         "value": round(rate, 1),
@@ -283,8 +277,7 @@ def bench_naf(num_envs: int, num_steps: int):
     }))
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
                       "batch_size": batch, "learner": learner,
-                      "kernel_mode": agent.kernel_mode,
-                      "n_calls": n_calls, "best_s": round(best, 3)}),
+                      "kernel_mode": agent.kernel_mode, **info}),
           file=sys.stderr)
 
 

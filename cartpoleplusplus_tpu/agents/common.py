@@ -8,6 +8,8 @@ selection, target updates).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +23,55 @@ TAG_EPS_ACT = 0x44
 TAG_NAF_X = 0x45
 TAG_NAF_Y = 0x46
 TAG_PG_GUMBEL = 0x47  # LRPG categorical sampling (action index salts it)
+
+
+def resolve_fused(agent, fused):
+    """Default policy for taking the Pallas actor-in-the-loop rollout:
+    only on TPU, only when the kernel covers the env/config shape, and
+    only where the pallas_call won't be cut by the SPMD partitioner
+    (single device, or per-shard bodies under shard_map — `dist_axis`).
+    Agents without a dist path (LRPG) simply lack the attribute."""
+    if fused is not None:
+        return fused
+    return (agent.fusable()
+            and jax.default_backend() == "tpu"
+            and (getattr(agent, "dist_axis", None) is not None
+                 or len(jax.devices()) == 1))
+
+
+def make_train_scan(agent, num_calls: int, capture: bool = False,
+                    fused=None):
+    """`num_calls` train steps as ONE jitted dispatch.
+
+    Each jitted call carries a fixed per-dispatch cost (Python arg
+    processing + runtime enqueue — several ms through the tunneled-TPU
+    transport this machine uses), which at the headline cadence is the
+    same order as the work itself: BASELINE.md round 2 measured 48.2M
+    env-steps/s at rollout 128 but 26.6M at rollout 64 with identical
+    per-env-step work, i.e. the step time was dominated by a per-call
+    constant. Scanning K train steps inside one jit amortizes that
+    constant K-fold without changing any semantics: train_step is a pure
+    (state) -> (state, metrics) function, so `lax.scan` over it computes
+    bitwise the same states as K sequential calls
+    (tests/test_agents.py::test_train_scan_matches_loop).
+
+    Metrics come back stacked time-major: metrics[k] is train step k's
+    dict (so callers keep their per-step logging cadence by iterating
+    rows). With capture=True the stacked metrics carry
+    metrics["traj"][k] = rollout chunk k; concatenating on the time axis
+    reproduces the unchunked trajectory for the event-log sink.
+    """
+    step = functools.partial(agent.train_step, capture=capture,
+                             fused=resolve_fused(agent, fused))
+
+    def scanned(st):
+        def body(c, _):
+            c, m = step(c)
+            return c, m
+
+        return jax.lax.scan(body, st, None, length=num_calls)
+
+    return jax.jit(scanned, donate_argnums=(0,))
 
 
 def local_batch(global_batch: int, num_shards: int) -> int:

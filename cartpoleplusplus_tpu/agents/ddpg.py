@@ -38,7 +38,8 @@ from ..env import CartPole3D
 from ..models import ActorMLP, CriticMLP, VisualActor, VisualCritic, polyak
 from ..utils.prng import normal
 from .common import (TAG_OU_X, TAG_OU_Y, as_key, gated_update_scan,
-                     local_batch, replay_presample)
+                     local_batch, make_train_scan, replay_presample,
+                     resolve_fused)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -527,11 +528,14 @@ class DDPG:
         under the SPMD partitioner a pallas_call cannot be re-sharded).
         The learner implementation was resolved at construction
         (cfg.learner / self.kernel_mode)."""
-        if fused is None:
-            fused = (self.fusable()
-                     and jax.default_backend() == "tpu"
-                     and (self.dist_axis is not None
-                          or len(jax.devices()) == 1))
         return jax.jit(functools.partial(self.train_step, capture=capture,
-                                         fused=fused),
+                                         fused=resolve_fused(self, fused)),
                        donate_argnums=(0,))
+
+    def make_train_scan(self, num_calls: int, capture: bool = False,
+                        fused=None):
+        """`num_calls` train steps as ONE jitted dispatch (stacked
+        metrics) — amortizes the per-call dispatch constant; see
+        agents/common.py::make_train_scan."""
+        return make_train_scan(self, num_calls, capture=capture,
+                               fused=fused)

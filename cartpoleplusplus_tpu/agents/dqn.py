@@ -24,7 +24,8 @@ from ..env import CartPole3D
 from ..models import QNetMLP, VisualQNet, polyak
 from ..utils.prng import hash_words, uniform
 from .common import (TAG_EPS_ACT, TAG_EPS_GATE, as_key, gated_update_scan,
-                     replay_presample, replay_sampler, run_rollout)
+                     make_train_scan, replay_presample, replay_sampler,
+                     resolve_fused, run_rollout)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -348,11 +349,14 @@ class DQN:
         auto-selects the Pallas Q-rollout kernel on TPU when the shape is
         coverable (single-device or per-shard batches only — under the
         SPMD partitioner a pallas_call cannot be re-sharded)."""
-        if fused is None:
-            fused = (self.fusable()
-                     and jax.default_backend() == "tpu"
-                     and (self.dist_axis is not None
-                          or len(jax.devices()) == 1))
         return jax.jit(functools.partial(self.train_step, capture=capture,
-                                         fused=fused),
+                                         fused=resolve_fused(self, fused)),
                        donate_argnums=(0,))
+
+    def make_train_scan(self, num_calls: int, capture: bool = False,
+                        fused=None):
+        """`num_calls` train steps as ONE jitted dispatch (stacked
+        metrics) — amortizes the per-call dispatch constant; see
+        agents/common.py::make_train_scan."""
+        return make_train_scan(self, num_calls, capture=capture,
+                               fused=fused)

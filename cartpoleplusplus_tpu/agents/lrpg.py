@@ -25,7 +25,8 @@ import optax
 from ..env import CartPole3D
 from ..models import PolicyMLP
 from ..utils.prng import gumbel
-from .common import TAG_PG_GUMBEL, as_key, run_rollout
+from .common import (TAG_PG_GUMBEL, as_key, make_train_scan, resolve_fused,
+                     run_rollout)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,10 +182,14 @@ class LRPG:
         (obs, action, reward, done)) for the event-log sink. fused=None
         auto-selects the Pallas rollout kernel on TPU when the shape is
         coverable."""
-        if fused is None:
-            fused = (self.fusable()
-                     and jax.default_backend() == "tpu"
-                     and len(jax.devices()) == 1)
         return jax.jit(functools.partial(self.train_step, capture=capture,
-                                         fused=fused),
+                                         fused=resolve_fused(self, fused)),
                        donate_argnums=(0,))
+
+    def make_train_scan(self, num_calls: int, capture: bool = False,
+                        fused=None):
+        """`num_calls` train steps as ONE jitted dispatch (stacked
+        metrics) — amortizes the per-call dispatch constant; see
+        agents/common.py::make_train_scan."""
+        return make_train_scan(self, num_calls, capture=capture,
+                               fused=fused)

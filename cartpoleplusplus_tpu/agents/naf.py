@@ -23,7 +23,8 @@ from ..env import CartPole3D
 from ..models import NafNet, polyak
 from ..utils.prng import normal
 from .common import (TAG_NAF_X, TAG_NAF_Y, as_key, gated_update_scan,
-                     replay_presample, run_rollout)
+                     make_train_scan, replay_presample, resolve_fused,
+                     run_rollout)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -346,11 +347,14 @@ class NAF:
         (obs, action, reward, done)) for the event-log sink. fused=None
         auto-selects the Pallas rollout kernel on TPU when the shape is
         coverable (single-device or per-shard batches only)."""
-        if fused is None:
-            fused = (self.fusable()
-                     and jax.default_backend() == "tpu"
-                     and (self.dist_axis is not None
-                          or len(jax.devices()) == 1))
         return jax.jit(functools.partial(self.train_step, capture=capture,
-                                         fused=fused),
+                                         fused=resolve_fused(self, fused)),
                        donate_argnums=(0,))
+
+    def make_train_scan(self, num_calls: int, capture: bool = False,
+                        fused=None):
+        """`num_calls` train steps as ONE jitted dispatch (stacked
+        metrics) — amortizes the per-call dispatch constant; see
+        agents/common.py::make_train_scan."""
+        return make_train_scan(self, num_calls, capture=capture,
+                               fused=fused)

@@ -47,6 +47,12 @@ class RunConfig:
     total_env_steps: int = 100_000   # per-env steps to train for
     seed: int = 0
     log_interval: int = 10           # train_steps between metric prints
+    # Train steps per jitted dispatch (agents.make_train_scan). >1 scans
+    # K train steps inside ONE jit call, amortizing the per-dispatch
+    # enqueue constant (same math bitwise — tests/test_agents.py). Saves
+    # and metric prints then land on dispatch boundaries; keep 1 when an
+    # exact per-step checkpoint cadence matters.
+    steps_per_dispatch: int = 1
     ckpt_dir: str = ""               # empty = no checkpointing
     ckpt_interval: int = 100         # train_steps between saves
     ckpt_full: bool = True           # False = weights-only (exclude replay)

@@ -29,7 +29,8 @@ from .mesh import (
     shard_batch_tree,
 )
 from .shardmap import make_shardmap_train_step, state_partition_specs
-from .train import make_distributed_train_step, shard_agent_state, scaling_report
+from .train import (make_distributed_train_scan, make_distributed_train_step,
+                    shard_agent_state, scaling_report)
 
 __all__ = [
     "DATA_AXIS",
@@ -38,6 +39,7 @@ __all__ = [
     "replicated_sharding",
     "batch_sharding",
     "shard_batch_tree",
+    "make_distributed_train_scan",
     "make_distributed_train_step",
     "make_shardmap_train_step",
     "state_partition_specs",

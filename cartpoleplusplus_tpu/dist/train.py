@@ -72,6 +72,31 @@ def make_distributed_train_step(agent, mesh, state_template=None,
     return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
 
 
+def make_distributed_train_scan(agent, mesh, num_calls: int,
+                                state_template=None,
+                                capture: bool = False):
+    """`num_calls` SPMD train steps as ONE jitted dispatch (the mesh
+    twin of agents/common.py::make_train_scan — same dispatch-cost
+    amortization, same stacked time-major metrics). Output state
+    shardings are pinned exactly as in make_distributed_train_step; the
+    scan carry keeps the same placement on every iteration, so the
+    partitioner compiles one program with stable layouts throughout."""
+    step = functools.partial(agent.train_step, capture=capture)
+
+    def scanned(st):
+        def body(c, _):
+            c, m = step(c)
+            return c, m
+
+        return jax.lax.scan(body, st, None, length=num_calls)
+
+    if state_template is None:
+        return jax.jit(scanned, donate_argnums=(0,))
+    out_shardings = (_leaf_placements(state_template, mesh), None)
+    return jax.jit(scanned, donate_argnums=(0,),
+                   out_shardings=out_shardings)
+
+
 def measure_rollout_rate(env, num_steps: int = 256, repeats: int = 3,
                          mesh=None, seed: int = 0) -> float:
     """env-steps/s of the pure rollout loop with state sharded on `mesh`

@@ -257,30 +257,69 @@ def main(argv=None) -> int:
     else:
         step = agent.make_train_step(capture=sink is not None)
 
+    # Chunked dispatch: scan `steps_per_dispatch` train steps inside one
+    # jit call (agents/common.py::make_train_scan; dist/train.py's twin
+    # under an SPMD mesh) — amortizes the fixed per-dispatch enqueue
+    # cost that dominates at fast cadences (BASELINE.md round-2
+    # dispatch-amortization row). The shard_map learner keeps per-step
+    # dispatch (its step closes over out_specs, not a scannable body).
+    spd = max(run.steps_per_dispatch, 1)
+    if spd > 1 and use_shardmap:
+        print("steps-per-dispatch > 1 is unsupported with the shardmap"
+              " learner; running with 1", file=sys.stderr)
+        spd = 1
+    if mesh is not None and not use_shardmap:
+        from .dist import make_distributed_train_scan
+        make_chunk = lambda k: make_distributed_train_scan(  # noqa: E731
+            agent, mesh, k, state, capture=sink is not None)
+    else:
+        make_chunk = lambda k: agent.make_train_scan(  # noqa: E731
+            k, capture=sink is not None)
+
     if run.profile_dir:
         jax.profiler.start_trace(run.profile_dir)
 
     steps_per_call = agent.cfg.rollout_steps
     n_calls = max(run.total_env_steps // steps_per_call, 1)
+    scans = {}
     t0 = time.perf_counter()
-    for i in range(start_call, n_calls):
-        state, metrics = step(state)
+    i = start_call
+    while i < n_calls:
+        k = min(spd, n_calls - i)
+        if k > 1:
+            if k not in scans:
+                scans[k] = make_chunk(k)
+            state, metrics = scans[k](state)
+        else:
+            state, metrics = step(state)
         if sink is not None:
             obs_t, act_t, rew_t, done_t = metrics.pop("traj")
+            if k > 1:
+                # Stacked (k, T, B, ...) chunks -> one time-major
+                # (k*T, B, ...) chunk (rollouts are contiguous in time).
+                reshape = lambda a: a.reshape((-1,) + a.shape[2:])  # noqa: E731
+                obs_t, act_t, rew_t, done_t = (
+                    reshape(x) for x in (obs_t, act_t, rew_t, done_t))
             # Device-side slice to the logged env subset BEFORE the host
             # fetch (event_log_envs sampling costs no transfer bandwidth).
             sink.add_rollout(np.asarray(obs_t[:, :log_envs]),
                              np.asarray(act_t[:, :log_envs]),
                              np.asarray(rew_t[:, :log_envs]),
                              np.asarray(done_t[:, :log_envs]))
-        if mgr is not None and mgr.should_save(i):
-            mgr.save(i, to_tree(state))
-        if (i + 1) % run.log_interval == 0 or i == n_calls - 1:
-            m = {k: float(np.asarray(v)) for k, v in metrics.items()}
-            rate = (run.num_envs * steps_per_call * (i + 1 - start_call)
+        i += k
+        if mgr is not None and any(mgr.should_save(j)
+                                   for j in range(i - k, i)):
+            mgr.save(i - 1, to_tree(state))
+        last_of = range(i - k, i)
+        if any((j + 1) % run.log_interval == 0 for j in last_of) \
+                or i == n_calls:
+            row = (lambda v: v[-1]) if k > 1 else (lambda v: v)
+            m = {key: float(np.asarray(row(v)))
+                 for key, v in metrics.items()}
+            rate = (run.num_envs * steps_per_call * (i - start_call)
                     / (time.perf_counter() - t0))
             m["env_steps_per_sec"] = round(rate)
-            m["train_step"] = i + 1
+            m["train_step"] = i
             print(json.dumps(m), flush=True)
 
     if run.profile_dir:

@@ -445,3 +445,57 @@ def test_presample_uniform_bitwise_matches_vmapped_sampling():
                             in_axes=(None, 0)))(rs, keys)
     for f, s in zip(fast, slow):
         np.testing.assert_array_equal(np.asarray(f), np.asarray(s))
+
+
+@pytest.mark.parametrize("agent_cls,cfg_cls,params", [
+    (DQN, DQNConfig, CartPoleParams()),
+    (DDPG, DDPGConfig, continuous_params()),
+    (NAF, NAFConfig, continuous_params()),
+    (LRPG, LRPGConfig, CartPoleParams()),
+])
+def test_train_scan_matches_loop(agent_cls, cfg_cls, params):
+    """make_train_scan(K) is bitwise K sequential train steps: the same
+    final state and the per-step metrics stacked time-major (the chunked
+    dispatch changes WHEN work is enqueued, never what is computed)."""
+    env = CartPole3D(params, num_envs=8)
+    fields = set(cfg_cls.__dataclass_fields__)
+    agent = agent_cls(env, cfg_cls(**{k: v for k, v in SMALL.items()
+                                      if k in fields}))
+    k = 3
+    st_loop = agent.init(0)
+    step = agent.make_train_step()
+    loop_metrics = []
+    for _ in range(k):
+        st_loop, m = step(st_loop)
+        loop_metrics.append(m)
+
+    st_scan, ms = agent.make_train_scan(k)(agent.init(0))
+
+    for a, b in zip(jax.tree.leaves(st_loop), jax.tree.leaves(st_scan)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for i, m in enumerate(loop_metrics):
+        for key, v in m.items():
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(ms[key][i]), err_msg=key)
+
+
+def test_train_scan_capture_matches_loop_chunks():
+    """capture=True under the scan stacks per-call rollout chunks that
+    are bitwise the chunks K sequential capture=True calls produce —
+    what the event-log sink consumes under chunked dispatch."""
+    env = CartPole3D(continuous_params(), num_envs=8)
+    agent = DDPG(env, DDPGConfig(**SMALL))
+    k = 3
+    st = agent.init(0)
+    step = agent.make_train_step(capture=True)
+    loop_chunks = []
+    for _ in range(k):
+        st, m = step(st)
+        loop_chunks.append(m.pop("traj"))
+
+    _, ms = agent.make_train_scan(k, capture=True)(agent.init(0))
+    stacked = ms.pop("traj")   # tuple of (k, T, B, ...) stacked arrays
+    for i, chunk in enumerate(loop_chunks):
+        for field_scan, field_loop in zip(stacked, chunk):
+            np.testing.assert_array_equal(np.asarray(field_scan[i]),
+                                          np.asarray(field_loop))

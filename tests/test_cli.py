@@ -248,3 +248,27 @@ def test_eval_render_writes_frames(tmp_path, capsys):
                         "--eval-render", str(out_dir)]) == 0
     import glob
     assert len(glob.glob(str(out_dir / "step*"))) == 6
+
+
+def test_train_steps_per_dispatch_chunked(tmp_path, capsys):
+    """--steps-per-dispatch 2 over 3 train calls: one 2-step scanned
+    dispatch plus a 1-step tail. Totals, metrics rows and the event-log
+    capture must all line up with the unchunked semantics."""
+    log = tmp_path / "chunked.cpe"
+    argv = ["--agent", "dqn", "--num-envs", "8",
+            "--total-env-steps", "12",
+            "--log-interval", "1",
+            "--event-log", str(log),
+            "--steps-per-dispatch", "2",
+            "--dqn.hidden", "16", "--dqn.rollout-steps", "4",
+            "--dqn.updates-per-step", "1", "--dqn.batch-size", "16",
+            "--dqn.replay-capacity-per-env", "16",
+            "--dqn.warmup-env-steps", "0"]
+    assert main(argv) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["env_steps"] == 12.0
+    assert lines[-1]["train_step"] == 3
+    assert np.isfinite(lines[-1]["loss"])
+    assert validate(str(log)) >= 1
+    chunks = [r for k, r in read_records(str(log)) if k == "chunk"]
+    assert sum(len(c["reward"]) for c in chunks) == 12 * 8
