@@ -130,14 +130,16 @@ def verify_kernel_parity(env, num_steps: int = 64) -> str:
 def _time_train(agent, rollout: int, num_envs: int, num_steps: int,
                 trials: int = 3):
     """Time an agent's end-to-end train loop: BENCH_SCAN train steps per
-    jitted dispatch (agents.make_train_scan; default 8 — each dispatch
+    jitted dispatch (agents.make_train_scan; default 16 — each dispatch
     carries a fixed enqueue cost that is the same order as the work at
-    the headline cadence, BASELINE.md round-2 dispatch-amortization row;
-    BENCH_SCAN=1 falls back to one jit call per train step). Returns
-    (env_steps_per_sec, info dict). D2H-synced by a metric read."""
+    the headline cadence, and the scan sweep measured 70.9/77.7/79.6/
+    91.6M env-steps/s at K=8/16/32/64, BASELINE.md round-2 dispatch-
+    amortization rows; BENCH_SCAN=1 falls back to one jit call per train
+    step). Returns (env_steps_per_sec, info dict). D2H-synced by a
+    metric read."""
     import time
 
-    scan = max(int(os.environ.get("BENCH_SCAN", "8")), 1)
+    scan = max(int(os.environ.get("BENCH_SCAN", "16")), 1)
     n_calls = max(num_steps // rollout, 1)
     n_dispatch = max(n_calls // scan, 1)
     st = agent.init(0)
