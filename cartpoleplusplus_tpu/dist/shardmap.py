@@ -68,20 +68,10 @@ def state_partition_specs(state, mesh):
     return type(state)(**specs)
 
 
-def make_shardmap_train_step(local_agent, mesh, state_template,
-                             capture: bool = False):
-    """Jitted shard_map train step.
-
-    local_agent: built with the PER-SHARD env (num_envs/mesh.size) and
-    `dist_axis=DATA_AXIS, num_shards=mesh.size`.
-    state_template: a GLOBAL agent state (from the global-size agent's
-    init + shard_agent_state) used to derive partition specs.
-    capture=True additionally returns the rollout chunk in
-    metrics["traj"]: each shard contributes its own envs' time-major
-    (obs, action, reward, done) slabs, stitched on the batch axis by the
-    (None, 'data') out_specs — the event-log sink then sees the same
-    global layout the SPMD path produces.
-    """
+def _shard_setup(local_agent, mesh, state_template):
+    """Shared validation + spec/fusion resolution for the shard_map
+    entry points: returns (partition specs for the state, train_step
+    kwargs)."""
     if local_agent.dist_axis != DATA_AXIS:
         raise ValueError("local_agent must be built with dist_axis='data'")
     if local_agent.num_shards != mesh.size:
@@ -97,7 +87,24 @@ def make_shardmap_train_step(local_agent, mesh, state_template,
              and "fused" in inspect.signature(
                  local_agent.train_step).parameters
              and getattr(local_agent, "fusable", lambda: False)())
-    kw = {"fused": True} if fused else {}
+    return specs, ({"fused": True} if fused else {})
+
+
+def make_shardmap_train_step(local_agent, mesh, state_template,
+                             capture: bool = False):
+    """Jitted shard_map train step.
+
+    local_agent: built with the PER-SHARD env (num_envs/mesh.size) and
+    `dist_axis=DATA_AXIS, num_shards=mesh.size`.
+    state_template: a GLOBAL agent state (from the global-size agent's
+    init + shard_agent_state) used to derive partition specs.
+    capture=True additionally returns the rollout chunk in
+    metrics["traj"]: each shard contributes its own envs' time-major
+    (obs, action, reward, done) slabs, stitched on the batch axis by the
+    (None, 'data') out_specs — the event-log sink then sees the same
+    global layout the SPMD path produces.
+    """
+    specs, kw = _shard_setup(local_agent, mesh, state_template)
 
     def step(state):
         state, metrics = local_agent.train_step(state, capture=capture,
@@ -117,6 +124,50 @@ def make_shardmap_train_step(local_agent, mesh, state_template,
     except TypeError:  # pre-0.8 fallback uses check_rep
         body = shard_map(step, check_rep=False, **kwargs)
     jitted = jax.jit(body, donate_argnums=(0,))
+
+    def wrapped(state):
+        state, metrics, traj = jitted(state)
+        if capture:
+            metrics["traj"] = traj
+        return state, metrics
+
+    return wrapped
+
+
+def make_shardmap_train_scan(local_agent, mesh, num_calls: int,
+                             state_template, capture: bool = False):
+    """`num_calls` shard_map train steps as ONE jitted dispatch — the
+    chunked-dispatch twin of agents.common.make_train_scan for the
+    explicit-communication learner (same contract: stacked time-major
+    metrics, metrics["traj"][k] = rollout chunk k when capture=True).
+
+    The `lax.scan` runs INSIDE the shard_map body, so per-shard rollout
+    and replay stay chip-local across all K train steps and the only
+    collectives remain the per-update gradient pmeans (+ one metrics
+    pmean per step) — chunking changes the dispatch count, not the
+    communication pattern. Trajectories gain a leading scan axis, so
+    their out_specs shard axis 2 (the env batch) instead of axis 1.
+    """
+    specs, kw = _shard_setup(local_agent, mesh, state_template)
+
+    def body(state):
+        def one(c, _):
+            c, m = local_agent.train_step(c, capture=capture, **kw)
+            traj = m.pop("traj") if capture else None
+            return c, (m, traj)
+
+        state, (metrics, traj) = jax.lax.scan(one, state, None,
+                                              length=num_calls)
+        return state, metrics, traj
+
+    traj_specs = (P(None, None, DATA_AXIS),) * 4 if capture else None
+    kwargs = dict(mesh=mesh, in_specs=(specs,),
+                  out_specs=(specs, P(), traj_specs))
+    try:
+        fn = shard_map(body, check_vma=False, **kwargs)
+    except TypeError:  # pre-0.8 fallback uses check_rep
+        fn = shard_map(body, check_rep=False, **kwargs)
+    jitted = jax.jit(fn, donate_argnums=(0,))
 
     def wrapped(state):
         state, metrics, traj = jitted(state)

@@ -259,16 +259,16 @@ def main(argv=None) -> int:
 
     # Chunked dispatch: scan `steps_per_dispatch` train steps inside one
     # jit call (agents/common.py::make_train_scan; dist/train.py's twin
-    # under an SPMD mesh) — amortizes the fixed per-dispatch enqueue
+    # under an SPMD mesh, dist/shardmap.py's under the explicit-
+    # communication learner) — amortizes the fixed per-dispatch enqueue
     # cost that dominates at fast cadences (BASELINE.md round-2
-    # dispatch-amortization row). The shard_map learner keeps per-step
-    # dispatch (its step closes over out_specs, not a scannable body).
+    # dispatch-amortization rows).
     spd = max(run.steps_per_dispatch, 1)
-    if spd > 1 and use_shardmap:
-        print("steps-per-dispatch > 1 is unsupported with the shardmap"
-              " learner; running with 1", file=sys.stderr)
-        spd = 1
-    if mesh is not None and not use_shardmap:
+    if use_shardmap:
+        from .dist import make_shardmap_train_scan
+        make_chunk = lambda k: make_shardmap_train_scan(  # noqa: E731
+            local_agent, mesh, k, state, capture=sink is not None)
+    elif mesh is not None:
         from .dist import make_distributed_train_scan
         make_chunk = lambda k: make_distributed_train_scan(  # noqa: E731
             agent, mesh, k, state, capture=sink is not None)

@@ -171,6 +171,37 @@ def test_shardmap_learner_with_eventlog(tmp_path, capsys):
     assert {c["env_id"] for c in chunks} == set(range(32))
 
 
+def test_shardmap_learner_chunked_dispatch(tmp_path, capsys):
+    """--steps-per-dispatch under --learner shardmap scans train steps
+    inside the shard_map body (dist.make_shardmap_train_scan) — the
+    event-log contents must be identical to per-step dispatch."""
+    logs = {}
+    for spd in ("1", "2"):
+        log = tmp_path / f"sm{spd}.cpe"
+        rc = main(["--agent", "ddpg", "--num-envs", "32",
+                   "--total-env-steps", "4", "--log-interval", "1",
+                   "--learner", "shardmap", "--event-log", str(log),
+                   "--steps-per-dispatch", spd,
+                   "--ddpg.hidden", "16", "--ddpg.rollout-steps", "2",
+                   "--ddpg.updates-per-step", "1",
+                   "--ddpg.batch-size", "16",
+                   "--ddpg.replay-capacity-per-env", "8",
+                   "--ddpg.warmup-env-steps", "0"])
+        assert rc == 0
+        chunks = [r for k, r in read_records(str(log)) if k == "chunk"]
+        # Chunk-record boundaries depend on the dispatch granularity
+        # (one sink push per dispatch); the per-env (episode, reward)
+        # STREAMS must be identical.
+        streams = {}
+        for c in chunks:
+            streams.setdefault(c["env_id"], []).extend(
+                (c["episode_id"], float(r))
+                for r in np.asarray(c["reward"]))
+        logs[spd] = streams
+    assert sum(len(s) for s in logs["2"].values()) == 4 * 32
+    assert logs["1"] == logs["2"]
+
+
 def test_eventlog_env_sampling(tmp_path, capsys):
     """--event-log-envs k logs only the first k envs (docs/design.md §13
     scalability valve)."""

@@ -132,6 +132,52 @@ def test_shardmap_ddpg_train_step():
     assert state.obs.sharding.num_devices == n
 
 
+def test_shardmap_train_scan_matches_loop():
+    """Chunked dispatch under the shard_map learner: scanning K train
+    steps inside the shard_map body computes bitwise the same state as
+    K sequential shard_map dispatches, and the captured trajectory
+    stacks to the same chunks (stitched on the env axis)."""
+    from cartpoleplusplus_tpu.dist import (DATA_AXIS,
+                                           make_shardmap_train_scan,
+                                           make_shardmap_train_step)
+
+    n = 8
+    mesh = make_mesh(jax.devices()[:n])
+    params = continuous_params()
+    cfg = DDPGConfig(hidden=(16,), rollout_steps=2, updates_per_step=2,
+                     batch_size=64, replay_capacity_per_env=16,
+                     warmup_env_steps=0)
+    env_g = CartPole3D(params, num_envs=8 * n)
+    agent_g = DDPG(env_g, cfg)
+    env_l = CartPole3D(params, num_envs=8)
+    agent_l = DDPG(env_l, cfg, dist_axis=DATA_AXIS, num_shards=n)
+
+    st_a = shard_agent_state(agent_g.init(0), mesh)
+    st_b = shard_agent_state(agent_g.init(0), mesh)
+    scan2 = make_shardmap_train_scan(agent_l, mesh, 2, st_a, capture=True)
+    step = make_shardmap_train_step(agent_l, mesh, st_b, capture=True)
+
+    st_a, ms = scan2(st_a)
+    st_b, m1 = step(st_b)
+    traj1 = m1.pop("traj")
+    st_b, m2 = step(st_b)
+    traj2 = m2.pop("traj")
+
+    for la, lb in zip(jax.tree.leaves(st_a.actor),
+                      jax.tree.leaves(st_b.actor)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(
+        np.asarray(ms["critic_loss"]),
+        np.asarray([m1["critic_loss"], m2["critic_loss"]]))
+    traj = ms.pop("traj")
+    for stacked, (a, b) in zip(traj, zip(traj1, traj2)):
+        assert stacked.shape == (2,) + a.shape
+        np.testing.assert_array_equal(np.asarray(stacked[0]),
+                                      np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(stacked[1]),
+                                      np.asarray(b))
+
+
 @pytest.mark.parametrize("agent_spec", ["dqn", "naf"])
 def test_shardmap_dqn_naf_train_step(agent_spec):
     """The shard_map recipe generalizes beyond the flagship: DQN and NAF
