@@ -121,6 +121,9 @@ def gated_update_scan(st, upd_body, num_updates: int, ready,
     is vmap-invariant, and the replay contents don't change during the
     update phase)."""
 
+    if num_updates <= 0:   # rollout-only cadence (decomposition probes)
+        return st, zero_metrics
+
     def do(s):
         rng, k = jax.random.split(s.rng)
         s = s._replace(rng=rng)

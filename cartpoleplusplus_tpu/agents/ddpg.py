@@ -346,6 +346,7 @@ class DDPG:
         return (self.env.obs_mode != "pixels"
                 and not self.replay.quantize_obs
                 and len(c.hidden) >= 2
+                and c.updates_per_step >= 1   # a K=0 phase has no grid
                 and c.actor_grad_critic in ("updated", "pre")
                 and c.polyak_cadence == "per_update"
                 and c.dtype == "float32"

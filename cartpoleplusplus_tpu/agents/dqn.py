@@ -124,6 +124,7 @@ class DQN:
         return (self.env.obs_mode != "pixels"
                 and not self.replay.quantize_obs
                 and len(c.hidden) >= 1
+                and c.updates_per_step >= 1   # a K=0 phase has no grid
                 and c.dtype == "float32"
                 and self.dist_axis is None
                 and local_batch(c.batch_size, self.num_shards) % 8 == 0)

@@ -122,6 +122,7 @@ class NAF:
         return (self.env.obs_mode != "pixels"
                 and self.env.action_dim == 2
                 and len(c.hidden) >= 1
+                and c.updates_per_step >= 1   # a K=0 phase has no grid
                 and c.dtype == "float32"
                 and self.dist_axis is None
                 and local_batch(c.batch_size, self.num_shards) % 8 == 0)
