@@ -54,6 +54,8 @@ def main():
         return bench_dqn(num_envs, num_steps)
     if config == "naf":
         return bench_naf(num_envs, num_steps)
+    if config == "lrpg":
+        return bench_lrpg(num_envs, num_steps)
     if config == "pixels":
         return bench_pixels(num_envs, num_steps)
     params = continuous_params() if config == "continuous" \
@@ -281,6 +283,31 @@ def bench_naf(num_envs: int, num_steps: int):
                       "batch_size": batch, "learner": learner,
                       "kernel_mode": agent.kernel_mode, **info}),
           file=sys.stderr)
+
+
+def bench_lrpg(num_envs: int, num_steps: int):
+    """End-to-end LRPG on-policy training env-steps/s: fused counter-
+    Gumbel softmax-sampling Pallas rollout + returns-to-go + one policy
+    update per window (no replay — the on-policy twin of the replay-
+    agent benches; same D2H-sync timing)."""
+
+    import jax  # noqa: F401 — backend init before agent build
+
+    from cartpoleplusplus_tpu import CartPole3D, CartPoleParams
+    from cartpoleplusplus_tpu.agents import LRPG, LRPGConfig
+
+    rollout = int(os.environ.get("BENCH_LRPG_ROLLOUT", "32"))
+    env = CartPole3D(CartPoleParams(), num_envs=num_envs)
+    agent = LRPG(env, LRPGConfig(rollout_steps=rollout))
+    rate, info = _time_train(agent, rollout, num_envs, num_steps)
+    print(json.dumps({
+        "metric": f"lrpg_train_env_steps_per_sec_{num_envs}envs",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / 10_000_000.0, 4),
+    }))
+    print(json.dumps({"rollout_steps": rollout,
+                      "fused": agent.fusable(), **info}), file=sys.stderr)
 
 
 def bench_pixels(num_envs: int, num_steps: int):
