@@ -278,10 +278,18 @@ def _flatten_actor_bm(flat, hidden):
 
 def fusable(env, hidden) -> bool:
     """The kernel covers: continuous actions, pose_stack obs,
-    auto-reset, lane-aligned batch (the config-3/5 training shape)."""
+    auto-reset, lane-aligned batch (the config-3/5 training shape).
+
+    The batch ceiling is VMEM: the feature-major (F, B) obs scratch +
+    double-buffered per-step output blocks scale linearly with B —
+    measured 29.9 MB scoped at 16384 envs vs the 16 MB limit (8192
+    fits). Above the ceiling agents fall back to the XLA env scan,
+    which the round-1 fused_rollout (tile-layout, no (F, B) matrices)
+    shows keeps scaling; a B-blocked grid is the future fix."""
     p = env.params
     return (not p.discrete_actions and env.obs_mode == "pose_stack"
             and env.auto_reset and env.num_envs % 1024 == 0
+            and env.num_envs <= 8192
             and len(hidden) >= 1)
 
 
@@ -633,11 +641,13 @@ def _flatten_naf_params(params, hidden):
 
 def q_fusable(env, hidden) -> bool:
     """DQN kernel coverage: discrete 5-way actions, pose_stack obs,
-    auto-reset, lane-aligned batch (the config-2 training shape)."""
+    auto-reset, lane-aligned batch (the config-2 training shape); same
+    (F, B)-buffer VMEM batch ceiling as `fusable`."""
     p = env.params
     return (p.discrete_actions and env.num_actions == 5
             and env.obs_mode == "pose_stack" and env.auto_reset
-            and env.num_envs % 1024 == 0 and len(hidden) >= 1)
+            and env.num_envs % 1024 == 0 and env.num_envs <= 8192
+            and len(hidden) >= 1)
 
 
 def naf_fusable(env, hidden) -> bool:

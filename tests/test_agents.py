@@ -479,6 +479,29 @@ def test_train_scan_matches_loop(agent_cls, cfg_cls, params):
                 np.asarray(v), np.asarray(ms[key][i]), err_msg=key)
 
 
+def test_updates_per_step_zero_is_rollout_only():
+    """updates_per_step=0 is the decomposition-probe cadence
+    (BENCH_DDPG_UPDATES=0): the learner phase is skipped entirely —
+    params unchanged, zero (not NaN) losses, rollout/replay still
+    advance, and learner='auto' resolves away from the kernel (a K=0
+    phase has no grid)."""
+    env = CartPole3D(continuous_params(), num_envs=8)
+    agent = DDPG(env, DDPGConfig(hidden=(16, 16), rollout_steps=2,
+                                 updates_per_step=0, batch_size=8,
+                                 replay_capacity_per_env=8,
+                                 warmup_env_steps=0, learner="auto"))
+    assert not agent.kernel_mode
+    st = agent.init(0)
+    actor0 = jax.tree.map(np.asarray, st.actor)
+    st, m = agent.make_train_step()(st)
+    assert float(m["critic_loss"]) == 0.0
+    assert float(m["actor_loss"]) == 0.0
+    assert np.isfinite(float(m["reward_mean"]))
+    assert int(st.replay.filled) == 2
+    for a, b in zip(jax.tree.leaves(actor0), jax.tree.leaves(st.actor)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_scan_capture_matches_loop_chunks():
     """capture=True under the scan stacks per-call rollout chunks that
     are bitwise the chunks K sequential capture=True calls produce —
