@@ -194,13 +194,18 @@ def bench_ddpg(num_envs: int, num_steps: int):
     learner = os.environ.get("BENCH_DDPG_LEARNER", "auto")
     # in-kernel matmul precision for the fused learner ("bfloat16" | "")
     kprec = os.environ.get("BENCH_DDPG_KPREC") or None
+    # Per-env replay ring length: the default 1024 slots x 42-f32 obs
+    # is ~2.9 GB of HBM at 16384 envs — shrink it to bench very large
+    # env counts (the sampling distribution changes, not the step cost).
+    cap = int(os.environ.get("BENCH_DDPG_REPLAY", "1024"))
     env = CartPole3D(continuous_params(), num_envs=num_envs)
     agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
                                  updates_per_step=updates,
                                  batch_size=batch, warmup_env_steps=0,
                                  dtype=dtype, actor_grad_critic=agc,
                                  polyak_cadence=pol, learner=learner,
-                                 learner_precision=kprec))
+                                 learner_precision=kprec,
+                                 replay_capacity_per_env=cap))
     rate, info = _time_train(agent, rollout, num_envs, num_steps)
     target = 10_000_000.0
     print(json.dumps({

@@ -113,8 +113,14 @@ def actor_forward_fm(obs_fm, layers, w_out, b_out):
 
 def _policy_rollout_kernel(p: CartPoleParams, num_layers: int,
                            ou_theta: float, num_steps: int, *refs):
-    """Grid=(T,) kernel. Per grid step: one full env.step with the actor
-    in the loop. State persists across grid steps in VMEM scratch."""
+    """Grid=(NB, T) kernel (env-blocks OUTER, time inner): each env
+    block runs its ENTIRE T-step rollout before the grid moves to the
+    next block, so the persistent VMEM scratch only ever holds one
+    block's state — the batch ceiling becomes HBM, not VMEM. Blocks
+    are exactly independent: every per-env quantity (physics, resets,
+    pushes, OU noise) is a pure function of (env seed, global step),
+    never of batch position. Per grid step: one full env.step with the
+    actor in the loop."""
     n_in = 19 + 4 * num_layers + 2
     ins, rest = refs[:n_in], refs[n_in:]
     outs, scratch = rest[:19], rest[19:]
@@ -130,7 +136,7 @@ def _policy_rollout_kernel(p: CartPoleParams, num_layers: int,
     (xs, ys, zs, vxs, vys, vzs, sxs, sys_, sdxs, sdys,
      steps_s, ep_s, nx_s, ny_s, obs_s) = scratch
 
-    t = pl.program_id(0)
+    t = pl.program_id(1)
     rows = x_in.shape[0]
 
     @pl.when(t == 0)
@@ -280,21 +286,30 @@ def fusable(env, hidden) -> bool:
     """The kernel covers: continuous actions, pose_stack obs,
     auto-reset, lane-aligned batch (the config-3/5 training shape).
 
-    The batch ceiling is VMEM: the feature-major (F, B) obs scratch +
-    double-buffered per-step output blocks scale linearly with B —
-    measured 29.9 MB scoped at 16384 envs vs the 16 MB limit (8192
-    fits). Above the ceiling agents fall back to the XLA env scan,
-    which the round-1 fused_rollout (tile-layout, no (F, B) matrices)
-    shows keeps scaling; a B-blocked grid is the future fix."""
+    VMEM holds one env BLOCK (<= 8192 envs, _pick_block), not the whole
+    batch: larger batches run as a (num_blocks, T) grid — each block's
+    full rollout in sequence, exactly independent because all per-env
+    math keys on (env seed, global step), never batch position. So the
+    only batch constraint is lane/sublane alignment."""
     p = env.params
     return (not p.discrete_actions and env.obs_mode == "pose_stack"
             and env.auto_reset and env.num_envs % 1024 == 0
-            and env.num_envs <= 8192
             and len(hidden) >= 1)
 
 
+def _pick_block(b: int) -> int:
+    """Largest env-block <= 8192 (the measured VMEM budget: the (F, BB)
+    obs scratch + double-buffered traj output blocks at BB=8192 fill
+    the 16 MB scoped limit; 16384 needs 29.9 MB) that divides the batch
+    and keeps lane/sublane alignment (multiple of 1024)."""
+    for bb in range(8192, 0, -1024):
+        if b % bb == 0:
+            return bb
+    raise ValueError(f"num_envs {b} not a multiple of 1024")
+
+
 def policy_rollout(env, hidden, ou_theta: float, num_steps: int,
-                   interpret: bool = False):
+                   interpret: bool = False, block_envs: int | None = None):
     """Builder: jitted fused actor-rollout.
 
     Returned fn(env_state, obs (B, F), noise (B, 2), actor_params,
@@ -303,39 +318,58 @@ def policy_rollout(env, hidden, ou_theta: float, num_steps: int,
        traj = (obs (T, B, F), action (T, B, 2), reward (T, B),
                done (T, B) bool))
     — the exact carry/traj contract of agents/ddpg.py's env scan.
+
+    block_envs caps the per-grid-step env block (default: auto, the
+    largest aligned divisor <= 8192 — the VMEM budget); batches larger
+    than one block run as a (num_blocks, T) grid, each block's full
+    rollout in sequence. Blocking is exact — per-env math never depends
+    on batch position — up to matmul reduction order (one ulp where the
+    backend's dot reassociates by batch width; termination/actions are
+    integer-exact, tests/test_policy_rollout.py).
     """
     p = env.params
     b = env.num_envs
     if not fusable(env, hidden):
         raise ValueError("env/config shape not coverable by the fused "
                          "actor rollout (see ops.policy_rollout.fusable)")
-    rows = b // 128
+    bb = block_envs or _pick_block(b)
+    if b % bb or bb % 1024:
+        raise ValueError(f"block_envs {bb} must divide num_envs {b} and "
+                         "be a multiple of 1024")
+    nb = b // bb
+    rows = bb // 128
     obs_dim = _FRAME_COMPS * p.action_repeats
     num_layers = len(hidden)
 
     kernel = functools.partial(_policy_rollout_kernel, p, num_layers,
                                ou_theta, num_steps)
-    tile_f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
-    tile_i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+    tile_f32 = jax.ShapeDtypeStruct((nb * rows, 128), jnp.float32)
+    tile_i32 = jax.ShapeDtypeStruct((nb * rows, 128), jnp.int32)
     row_f32 = jax.ShapeDtypeStruct((1, b), jnp.float32)
     obs_fm = jax.ShapeDtypeStruct((obs_dim, b), jnp.float32)
 
-    grid_in = lambda *shape: pl.BlockSpec(  # noqa: E731 — whole-array,
-        shape, lambda t: (0,) * len(shape),  # constant across grid steps
-        memory_space=pltpu.VMEM)
-    step_out = lambda *shape: pl.BlockSpec(  # noqa: E731 — per-t block
-        (1,) + shape, lambda t: (t,) + (0,) * len(shape),
-        memory_space=pltpu.VMEM)
+    # Index maps take the (env-block, time) grid position. Tile-layout
+    # operands block on their leading (sublane) axis — envs are
+    # row-major in tiles, so block bi covers envs [bi*bb, (bi+1)*bb).
+    # Row/feature-major operands block on the lane axis.
+    tile_in = lambda: pl.BlockSpec(  # noqa: E731 — per-env-block tile
+        (rows, 128), lambda bi, t: (bi, 0), memory_space=pltpu.VMEM)
+    lane_in = lambda r: pl.BlockSpec(  # noqa: E731 — per-env-block row
+        (r, bb), lambda bi, t: (0, bi), memory_space=pltpu.VMEM)
+    const_in = lambda *shape: pl.BlockSpec(  # noqa: E731 — replicated
+        shape, lambda bi, t: (0,) * len(shape), memory_space=pltpu.VMEM)
+    step_out = lambda r: pl.BlockSpec(  # noqa: E731 — per-(t, block)
+        (1, r, bb), lambda bi, t: (t, 0, bi), memory_space=pltpu.VMEM)
 
-    smem_scalar = pl.BlockSpec((1, 1), lambda t: (0, 0),
+    smem_scalar = pl.BlockSpec((1, 1), lambda bi, t: (0, 0),
                                memory_space=pltpu.SMEM)
     in_specs = (
-        [grid_in(rows, 128)] * 13                 # state + seed tiles
-        + [grid_in(1, b)]                         # seed row twin
-        + [grid_in(rows, 128)] * 2                # noise
-        + [grid_in(obs_dim, b)]                   # obs0
+        [tile_in()] * 13                          # state + seed tiles
+        + [lane_in(1)]                            # seed row twin
+        + [tile_in()] * 2                         # noise
+        + [lane_in(obs_dim)]                      # obs0
         + [smem_scalar, smem_scalar]              # env_steps, sigma
-        + [grid_in(*s) for s in _layer_shapes(hidden, obs_dim)]
+        + [const_in(*s) for s in _layer_shapes(hidden, obs_dim)]
     )
     assert len(in_specs) == 19 + 4 * num_layers + 2
 
@@ -349,21 +383,20 @@ def policy_rollout(env, hidden, ou_theta: float, num_steps: int,
         obs_fm,                                                      # obs'
     )
     out_specs = (
-        step_out(obs_dim, b), step_out(2, b), step_out(1, b),
-        step_out(1, b),
-        *(grid_in(rows, 128),) * 12,
-        grid_in(1, b), grid_in(1, b), grid_in(obs_dim, b),
+        step_out(obs_dim), step_out(2), step_out(1), step_out(1),
+        *(tile_in(),) * 12,
+        lane_in(1), lane_in(1), lane_in(obs_dim),
     )
     scratch_shapes = (
         [pltpu.VMEM((rows, 128), jnp.float32)] * 10
         + [pltpu.VMEM((rows, 128), jnp.int32)] * 2
-        + [pltpu.VMEM((1, b), jnp.float32)] * 2
-        + [pltpu.VMEM((obs_dim, b), jnp.float32)]
+        + [pltpu.VMEM((1, bb), jnp.float32)] * 2
+        + [pltpu.VMEM((obs_dim, bb), jnp.float32)]
     )
 
     call = pl.pallas_call(
         kernel,
-        grid=(num_steps,),
+        grid=(nb, num_steps),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -372,7 +405,7 @@ def policy_rollout(env, hidden, ou_theta: float, num_steps: int,
     )
 
     def tiles(a):
-        return a.reshape(rows, 128)
+        return a.reshape(b // 128, 128)
 
     def run(state: EnvState, obs, noise, actor_params, env_steps, sigma):
         ph = state.phys
@@ -436,12 +469,14 @@ def _layer_shapes(hidden, obs_dim):
 
 def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
                       mode: str, *refs):
-    """Grid=(T,) kernel: one env.step per grid step with the policy
-    network forward in the loop. mode='dqn': epsilon-greedy argmax over
-    the 5 Q rows (agents/dqn.py::act; scalar operand = epsilon).
-    mode='naf': tanh mu rows + sigma * counter-normal, clipped
-    (agents/naf.py::act; scalar operand = noise_sigma). Same layout
-    strategy as `_policy_rollout_kernel`."""
+    """Grid=(NB, T) kernel (env-blocks outer — see
+    `_policy_rollout_kernel` for why blocking is exact): one env.step
+    per grid step with the policy network forward in the loop.
+    mode='dqn': epsilon-greedy argmax over the 5 Q rows
+    (agents/dqn.py::act; scalar operand = epsilon). mode='naf': tanh mu
+    rows + sigma * counter-normal, clipped (agents/naf.py::act; scalar
+    operand = noise_sigma). Same layout strategy as
+    `_policy_rollout_kernel`."""
     n_in = 17 + 4 * num_layers + 2
     ins, rest = refs[:n_in], refs[n_in:]
     outs, scratch = rest[:17], rest[17:]
@@ -457,7 +492,7 @@ def _q_rollout_kernel(p: CartPoleParams, num_layers: int, num_steps: int,
     (xs, ys, zs, vxs, vys, vzs, sxs, sys_, sdxs, sdys,
      steps_s, ep_s, obs_s) = scratch
 
-    t = pl.program_id(0)
+    t = pl.program_id(1)
     rows = x_in.shape[0]
 
     @pl.when(t == 0)
@@ -641,13 +676,12 @@ def _flatten_naf_params(params, hidden):
 
 def q_fusable(env, hidden) -> bool:
     """DQN kernel coverage: discrete 5-way actions, pose_stack obs,
-    auto-reset, lane-aligned batch (the config-2 training shape); same
-    (F, B)-buffer VMEM batch ceiling as `fusable`."""
+    auto-reset, lane-aligned batch (the config-2 training shape); env
+    blocking lifts the VMEM batch ceiling exactly as in `fusable`."""
     p = env.params
     return (p.discrete_actions and env.num_actions == 5
             and env.obs_mode == "pose_stack" and env.auto_reset
-            and env.num_envs % 1024 == 0 and env.num_envs <= 8192
-            and len(hidden) >= 1)
+            and env.num_envs % 1024 == 0 and len(hidden) >= 1)
 
 
 def naf_fusable(env, hidden) -> bool:
@@ -661,7 +695,8 @@ def pg_fusable(env, hidden) -> bool:
     return q_fusable(env, hidden)
 
 
-def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
+def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False,
+                     block_envs: int | None = None):
     """Builder: jitted fused epsilon-greedy Q-rollout (mode='dqn').
 
     Returned fn(env_state, obs (B, F), q_params, env_steps (i32 scalar),
@@ -670,11 +705,12 @@ def q_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
     rollout contract of agents/dqn.py::train_step.
     """
     return _stateless_policy_rollout(env, hidden, num_steps, "dqn",
-                                     interpret)
+                                     interpret, block_envs)
 
 
 def naf_policy_rollout(env, hidden, num_steps: int,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       block_envs: int | None = None):
     """Builder: jitted fused NAF mu+Gaussian rollout (mode='naf').
 
     Returned fn(env_state, obs (B, F), naf_params, env_steps (i32
@@ -683,19 +719,21 @@ def naf_policy_rollout(env, hidden, num_steps: int,
     — the exact rollout contract of agents/naf.py::train_step.
     """
     return _stateless_policy_rollout(env, hidden, num_steps, "naf",
-                                     interpret)
+                                     interpret, block_envs)
 
 
-def pg_policy_rollout(env, hidden, num_steps: int, interpret: bool = False):
+def pg_policy_rollout(env, hidden, num_steps: int, interpret: bool = False,
+                      block_envs: int | None = None):
     """Builder: jitted fused LRPG softmax-sample rollout (mode='lrpg';
     Gumbel-max over counter-PRNG draws, agents/lrpg.py::act). The scalar
     operand is unused — pass 0.0. Same contract as q_policy_rollout."""
     return _stateless_policy_rollout(env, hidden, num_steps, "lrpg",
-                                     interpret)
+                                     interpret, block_envs)
 
 
 def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              block_envs: int | None = None):
     p = env.params
     b = env.num_envs
     ok = naf_fusable(env, hidden) if mode == "naf" \
@@ -703,7 +741,12 @@ def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
     if not ok:
         raise ValueError("env/config shape not coverable by the fused "
                          f"{mode} rollout (see ops.policy_rollout)")
-    rows = b // 128
+    bb = block_envs or _pick_block(b)
+    if b % bb or bb % 1024:
+        raise ValueError(f"block_envs {bb} must divide num_envs {b} and "
+                         "be a multiple of 1024")
+    nb = b // bb
+    rows = bb // 128
     obs_dim = _FRAME_COMPS * p.action_repeats
     num_layers = len(hidden)
     act_rows = 2 if mode == "naf" else 1
@@ -712,23 +755,27 @@ def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
 
     kernel = functools.partial(_q_rollout_kernel, p, num_layers, num_steps,
                                mode)
-    tile_f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
-    tile_i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+    tile_f32 = jax.ShapeDtypeStruct((nb * rows, 128), jnp.float32)
+    tile_i32 = jax.ShapeDtypeStruct((nb * rows, 128), jnp.int32)
     obs_fm = jax.ShapeDtypeStruct((obs_dim, b), jnp.float32)
 
-    grid_in = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM)
-    step_out = lambda *shape: pl.BlockSpec(  # noqa: E731
-        (1,) + shape, lambda t: (t,) + (0,) * len(shape),
-        memory_space=pltpu.VMEM)
-    smem_scalar = pl.BlockSpec((1, 1), lambda t: (0, 0),
+    # Same (env-block, time) index-map scheme as policy_rollout.
+    tile_in = lambda: pl.BlockSpec(  # noqa: E731
+        (rows, 128), lambda bi, t: (bi, 0), memory_space=pltpu.VMEM)
+    lane_in = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, bb), lambda bi, t: (0, bi), memory_space=pltpu.VMEM)
+    const_in = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda bi, t: (0,) * len(shape), memory_space=pltpu.VMEM)
+    step_out = lambda r: pl.BlockSpec(  # noqa: E731
+        (1, r, bb), lambda bi, t: (t, 0, bi), memory_space=pltpu.VMEM)
+    smem_scalar = pl.BlockSpec((1, 1), lambda bi, t: (0, 0),
                                memory_space=pltpu.SMEM)
     in_specs = (
-        [grid_in(rows, 128)] * 13                 # state + seed tiles
-        + [grid_in(1, b)]                         # seed row twin
-        + [grid_in(obs_dim, b)]                   # obs0
+        [tile_in()] * 13                          # state + seed tiles
+        + [lane_in(1)]                            # seed row twin
+        + [lane_in(obs_dim)]                      # obs0
         + [smem_scalar, smem_scalar]              # env_steps, epsilon
-        + [grid_in(*s) for s in _layer_shapes(hidden, obs_dim)]
+        + [const_in(*s) for s in _layer_shapes(hidden, obs_dim)]
     )
     assert len(in_specs) == 17 + 4 * num_layers + 2
 
@@ -741,20 +788,19 @@ def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
         obs_fm,                                                      # obs'
     )
     out_specs = (
-        step_out(obs_dim, b), step_out(act_rows, b), step_out(1, b),
-        step_out(1, b),
-        *(grid_in(rows, 128),) * 12,
-        grid_in(obs_dim, b),
+        step_out(obs_dim), step_out(act_rows), step_out(1), step_out(1),
+        *(tile_in(),) * 12,
+        lane_in(obs_dim),
     )
     scratch_shapes = (
         [pltpu.VMEM((rows, 128), jnp.float32)] * 10
         + [pltpu.VMEM((rows, 128), jnp.int32)] * 2
-        + [pltpu.VMEM((obs_dim, b), jnp.float32)]
+        + [pltpu.VMEM((obs_dim, bb), jnp.float32)]
     )
 
     call = pl.pallas_call(
         kernel,
-        grid=(num_steps,),
+        grid=(nb, num_steps),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -763,7 +809,7 @@ def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
     )
 
     def tiles(a):
-        return a.reshape(rows, 128)
+        return a.reshape(b // 128, 128)
 
     def run(state: EnvState, obs, net_params, env_steps, eps):
         ph = state.phys

@@ -79,6 +79,35 @@ def test_fused_rollout_continues_counters():
                                rtol=2e-4, atol=2e-5)  # actions, chunk 2
 
 
+def test_env_blocked_grid_matches_unblocked():
+    """The (env-blocks, T) grid matches the single-block kernel: 2048
+    envs at block_envs=1024 (two blocks, each running its full rollout
+    in sequence) produce the same trajectories and final state as
+    block_envs=2048 — per-env math keys on (env seed, step), never
+    batch position (this is what lifts the VMEM batch ceiling above
+    8192 envs on hardware). Float leaves compare to one-ulp tolerance:
+    interpret mode lowers the actor matmul to an XLA CPU dot whose
+    reduction order varies with the batch width. Integer/bool leaves
+    (steps, episode, done) must be EXACT — a flipped termination would
+    cascade."""
+    agent = _agent(num_envs=2048)
+    st = agent.init(0)
+    sigma = jnp.float32(0.2)
+    outs = {}
+    for bb in (1024, 2048):
+        run = policy_rollout(agent.env, HIDDEN, agent.cfg.ou_theta, T,
+                             interpret=True, block_envs=bb)
+        outs[bb] = jax.jit(run)(st.env_state, st.obs, st.noise, st.actor,
+                                jnp.int32(0), sigma)
+    for a, b in zip(jax.tree.leaves(outs[1024]),
+                    jax.tree.leaves(outs[2048])):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
 def test_fusable_gate():
     agent = _agent()
     assert fusable(agent.env, HIDDEN)
@@ -140,6 +169,31 @@ def test_fused_q_rollout_matches_env_scan():
                                   np.asarray(r_state.steps))
     np.testing.assert_array_equal(np.asarray(f_state.episode),
                                   np.asarray(r_state.episode))
+
+
+def test_env_blocked_q_grid_matches_unblocked():
+    """Stateless-kernel twin of the DDPG blocking test: the DQN rollout
+    at 2048 envs / block_envs=1024 matches the single-block run (float
+    leaves to one-ulp matmul-reassociation tolerance, int/bool leaves —
+    including the ACTION stream — exact)."""
+    from cartpoleplusplus_tpu.ops.policy_rollout import q_policy_rollout
+
+    agent = _dqn_agent(num_envs=2048)
+    st = agent.init(0)
+    eps = jnp.float32(0.3)
+    outs = {}
+    for bb in (1024, 2048):
+        run = q_policy_rollout(agent.env, HIDDEN, T, interpret=True,
+                               block_envs=bb)
+        outs[bb] = jax.jit(run)(st.env_state, st.obs, st.q,
+                                jnp.int32(0), eps)
+    for a, b in zip(jax.tree.leaves(outs[1024]),
+                    jax.tree.leaves(outs[2048])):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(a, b)
 
 
 def test_fused_q_train_step_runs():
