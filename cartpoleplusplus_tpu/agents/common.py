@@ -25,6 +25,21 @@ TAG_NAF_Y = 0x46
 TAG_PG_GUMBEL = 0x47  # LRPG categorical sampling (action index salts it)
 
 
+def _notice_learner_fallback(name: str, learner: str, kernel_mode: bool):
+    """One-line stderr notice when learner='auto' resolves to the XLA
+    update scan ON TPU — a user benchmarking "the kernel" would
+    otherwise silently measure the fallback. (CPU runs are always the
+    XLA/interpret path; no notice there.) The per-step metrics carry the
+    same fact as the `learner_impl` key (1.0 kernel / 0.0 xla)."""
+    import sys
+
+    if (learner == "auto" and not kernel_mode
+            and jax.default_backend() == "tpu"):
+        print(f"{name}: learner=auto resolved to the XLA update scan "
+              f"(config shape outside the fused-kernel window — see "
+              f"kernel_learner_ok)", file=sys.stderr)
+
+
 def resolve_fused(agent, fused):
     """Default policy for taking the Pallas actor-in-the-loop rollout:
     only on TPU, only when the kernel covers the env/config shape, and
@@ -184,6 +199,28 @@ def replay_presample(replay, sample_mode: str, batch_size: int,
     one = replay_sampler(replay, sample_mode, batch_size, num_shards,
                          dist_axis)
     return lambda s, keys: jax.vmap(one, in_axes=(None, 0))(s.replay, keys)
+
+
+def gather_batches(dist_axis):
+    """Batch-replication collective for the kernel learner under
+    shard_map: all_gather each (K, local_bs, ...) presampled minibatch
+    stack along the batch axis, so every shard holds the identical
+    (K, global_bs, ...) union batch and the fused update kernel
+    (ops/learner_kernel.py) runs redundantly-but-identically on each
+    shard. Gradients cannot pmean inside a pallas_call; replicating the
+    batches instead keeps params bitwise-identical across shards, and
+    the full-batch gradient equals the XLA path's pmean of per-shard
+    gradients (mean over the union batch, equal shard sizes). The
+    all_gather is the ONLY extra cross-chip traffic (K * global_bs
+    transition rows per train step, riding ICI); the learner phase is
+    serial-latency-bound, so the redundant per-chip compute costs the
+    same wall-clock the split-at-the-collective design would.
+    Identity when dist_axis is None."""
+    if dist_axis is None:
+        return lambda batches: batches
+    return lambda batches: jax.tree.map(
+        lambda x: jax.lax.all_gather(x, dist_axis, axis=1, tiled=True),
+        batches)
 
 
 def episode_length_hist(done, cap: int):

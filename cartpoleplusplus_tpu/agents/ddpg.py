@@ -37,9 +37,9 @@ import optax
 from ..env import CartPole3D
 from ..models import ActorMLP, CriticMLP, VisualActor, VisualCritic, polyak
 from ..utils.prng import normal
-from .common import (TAG_OU_X, TAG_OU_Y, as_key, gated_update_scan,
-                     local_batch, make_train_scan, replay_presample,
-                     resolve_fused)
+from .common import (TAG_OU_X, TAG_OU_Y, _notice_learner_fallback, as_key,
+                     gated_update_scan, gather_batches, local_batch,
+                     make_train_scan, replay_presample, resolve_fused)
 from .replay import ReplayBuffer, ReplayState
 
 
@@ -158,13 +158,19 @@ class DDPG:
                                  "DDPG.kernel_learner_ok)")
             self.kernel_mode = True
         elif config.learner == "auto":
+            # Kernel on TPU when the shape is covered AND the pallas_call
+            # will not be cut by the SPMD partitioner: single device, or
+            # per-shard bodies under shard_map (dist_axis) — the same
+            # placement rule as resolve_fused.
             self.kernel_mode = (self.kernel_learner_ok()
                                 and jax.default_backend() == "tpu"
-                                and len(jax.devices()) == 1)
+                                and (len(jax.devices()) == 1
+                                     or self.dist_axis is not None))
         elif config.learner == "xla":
             self.kernel_mode = False
         else:
             raise ValueError(f"unknown learner {config.learner!r}")
+        _notice_learner_fallback("ddpg", config.learner, self.kernel_mode)
 
     # --- init ---------------------------------------------------------------
     def init(self, key) -> DDPGState:
@@ -340,8 +346,14 @@ class DDPG:
         """Whether ops/learner_kernel.py covers this config: state obs
         (pixel frames would blow VMEM), >= 2 hidden layers (the action
         injects at layer 1), the default update semantics (the kernel
-        bakes them in), f32 nets, presample-able replay, and no
-        shard_map axis (gradients cannot pmean inside a pallas_call)."""
+        bakes them in), f32 nets, and a presample-able replay. Under
+        shard_map (dist_axis) the kernel composes via batch replication:
+        gradients cannot pmean inside a pallas_call, so each shard
+        all_gathers the K presampled minibatches (one collective over
+        ICI) and runs the IDENTICAL full-batch kernel redundantly —
+        params stay bitwise-replicated and the math equals the XLA
+        pmean path (mean over the union batch). That needs the global
+        batch to split evenly over shards."""
         c = self.cfg
         return (self.env.obs_mode != "pixels"
                 and not self.replay.quantize_obs
@@ -350,14 +362,21 @@ class DDPG:
                 and c.actor_grad_critic in ("updated", "pre")
                 and c.polyak_cadence == "per_update"
                 and c.dtype == "float32"
-                and self.dist_axis is None
+                and c.batch_size % max(self.num_shards, 1) == 0
                 and self.local_batch_size % 8 == 0)
+
+    @property
+    def _kernel_batch_size(self) -> int:
+        """Rows the update kernel consumes per update: the GLOBAL batch
+        (under shard_map the K per-shard minibatches are all_gathered,
+        so every shard's kernel sees the full union batch)."""
+        return self.local_batch_size * max(self.num_shards, 1)
 
     def _kernel_block(self) -> int:
         """Largest power-of-two-reduced block <= learner_block that
         divides the minibatch (the kernel grid needs uniform blocks)."""
-        blk = min(self.cfg.learner_block, self.local_batch_size)
-        while self.local_batch_size % blk:
+        blk = min(self.cfg.learner_block, self._kernel_batch_size)
+        while self._kernel_batch_size % blk:
             blk //= 2
         return blk
 
@@ -372,7 +391,7 @@ class DDPG:
         h = tuple(c.hidden)
         run = lk.ddpg_update_phase(
             h, self.env.obs_shape[0], c.updates_per_step,
-            self.local_batch_size, actor_lr=c.actor_lr,
+            self._kernel_batch_size, actor_lr=c.actor_lr,
             critic_lr=c.critic_lr, gamma=c.gamma, tau=c.tau,
             block_size=self._kernel_block(),
             interpret=jax.default_backend() != "tpu",
@@ -380,12 +399,13 @@ class DDPG:
             actor_grad_critic=c.actor_grad_critic)
         presample = replay_presample(self.replay, c.sample, c.batch_size,
                                      self.num_shards, self.dist_axis)
+        gather = gather_batches(self.dist_axis)
 
         def do(s):
             rng, k = jax.random.split(s.rng)
             s = s._replace(rng=rng)
             keys = jax.random.split(k, c.updates_per_step)
-            batches = presample(s, keys)
+            batches = gather(presample(s, keys))
             # The state already holds the kernel's flat operand lists —
             # zero relayout ops on the hot path.
             groups = (s.actor, s.critic, s.actor_target, s.critic_target,
@@ -512,6 +532,11 @@ class DDPG:
         metrics["reward_mean"] = reward_mean
         metrics["done_frac"] = done_frac
         metrics["env_steps"] = env_steps
+        # 1.0 = fused Pallas update kernel, 0.0 = XLA update scan — so a
+        # user benchmarking "the kernel" can see which one actually ran
+        # (learner="auto" silently falls back off the kernel window).
+        metrics["learner_impl"] = jnp.float32(1.0 if self.kernel_mode
+                                              else 0.0)
         return st, metrics
 
     def fusable(self) -> bool:

@@ -22,7 +22,8 @@ import optax
 from ..env import CartPole3D
 from ..models import NafNet, polyak
 from ..utils.prng import normal
-from .common import (TAG_NAF_X, TAG_NAF_Y, as_key, gated_update_scan,
+from .common import (TAG_NAF_X, TAG_NAF_Y, _notice_learner_fallback, as_key,
+                     gated_update_scan, gather_batches, local_batch,
                      make_train_scan, replay_presample, resolve_fused,
                      run_rollout)
 from .replay import ReplayBuffer, ReplayState
@@ -106,25 +107,30 @@ class NAF:
                                  "NAF.kernel_learner_ok)")
             self.kernel_mode = True
         elif config.learner == "auto":
+            # Same placement rule as resolve_fused: single device, or
+            # per-shard bodies under shard_map (dist_axis).
             self.kernel_mode = (self.kernel_learner_ok()
                                 and jax.default_backend() == "tpu"
-                                and len(jax.devices()) == 1)
+                                and (len(jax.devices()) == 1
+                                     or self.dist_axis is not None))
         elif config.learner == "xla":
             self.kernel_mode = False
         else:
             raise ValueError(f"unknown learner {config.learner!r}")
+        _notice_learner_fallback("naf", config.learner, self.kernel_mode)
 
     def kernel_learner_ok(self) -> bool:
         """ops/learner_kernel.py coverage for NAF (state obs, 2-D
-        actions, f32, no shard_map axis)."""
+        actions, f32). Under shard_map the kernel composes via batch
+        replication (agents/common.py::gather_batches), so the global
+        batch must split evenly over shards."""
         c = self.cfg
-        from .common import local_batch
         return (self.env.obs_mode != "pixels"
                 and self.env.action_dim == 2
                 and len(c.hidden) >= 1
                 and c.updates_per_step >= 1   # a K=0 phase has no grid
                 and c.dtype == "float32"
-                and self.dist_axis is None
+                and c.batch_size % max(self.num_shards, 1) == 0
                 and local_batch(c.batch_size, self.num_shards) % 8 == 0)
 
     # --- optax-state plumbing (clip changes the nesting level) ----------
@@ -295,6 +301,8 @@ class NAF:
             "reward_mean": reward_mean,
             "done_frac": done_frac,
             "env_steps": env_steps,
+            # 1.0 = fused Pallas update kernel, 0.0 = XLA update scan.
+            "learner_impl": jnp.float32(1.0 if self.kernel_mode else 0.0),
         }
 
     def _kernel_update_phase(self, st: NAFState, ready):
@@ -305,23 +313,28 @@ class NAF:
         from ..ops import learner_kernel as lk
 
         c = self.cfg
-        blk = min(c.learner_block, c.batch_size)
-        while c.batch_size % blk:
+        # Rows per update: the GLOBAL batch (per-shard minibatches are
+        # all_gathered under shard_map — see gather_batches).
+        kb = local_batch(c.batch_size, self.num_shards) \
+            * max(self.num_shards, 1)
+        blk = min(c.learner_block, kb)
+        while kb % blk:
             blk //= 2
         run = lk.naf_update_phase(
             tuple(c.hidden), self.env.obs_shape[0], c.updates_per_step,
-            c.batch_size, lr=c.lr, gamma=c.gamma, tau=c.tau,
+            kb, lr=c.lr, gamma=c.gamma, tau=c.tau,
             max_grad_norm=c.max_grad_norm, block_size=blk,
             interpret=jax.default_backend() != "tpu",
             mm_precision=c.learner_precision)
         presample = replay_presample(self.replay, c.sample, c.batch_size,
                                      self.num_shards, self.dist_axis)
+        gather = gather_batches(self.dist_axis)
 
         def do(s):
             rng, k = jax.random.split(s.rng)
             s = s._replace(rng=rng)
             keys = jax.random.split(k, c.updates_per_step)
-            batches = presample(s, keys)
+            batches = gather(presample(s, keys))
             a = self._adam_state(s.opt)
             groups = (s.params, s.target, a.mu, a.nu)
             t0 = a.count

@@ -123,11 +123,11 @@ def main(argv=None) -> int:
     state = agent.init(run.seed)
     mesh = None
     if run.use_mesh and len(jax.devices()) > 1:
-        from .dist import make_mesh, shard_agent_state
+        from .dist import make_mesh
         mesh = make_mesh()
-        state = shard_agent_state(state, mesh)
 
     use_shardmap = run.learner == "shardmap"
+    local_agent = None
     if use_shardmap:
         if mesh is None or run.agent not in ("ddpg", "dqn", "naf"):
             print("--learner shardmap needs >1 device and a replay agent "
@@ -137,17 +137,39 @@ def main(argv=None) -> int:
             print(f"--learner shardmap needs num_envs divisible by the "
                   f"{mesh.size}-device mesh", file=sys.stderr)
             return 2
+        else:
+            # The PER-SHARD agent the shard_map body runs. Its learner
+            # resolution can differ from the global agent's (the fused
+            # update kernel composes with shard_map but not with the
+            # SPMD partitioner), so the training state must take the
+            # LOCAL agent's native layout before sharding.
+            from .dist import DATA_AXIS
+            agent_cls, _, _ = _AGENTS[run.agent]
+            local_env = CartPole3D(env.params,
+                                   num_envs=run.num_envs // mesh.size,
+                                   obs_mode=run.obs_mode)
+            local_agent = agent_cls(local_env, agent.cfg,
+                                    dist_axis=DATA_AXIS,
+                                    num_shards=mesh.size)
+            state = jax.jit(lambda s: local_agent.state_from_tree(
+                agent.state_to_tree(s)))(state)
+    if mesh is not None:
+        from .dist import shard_agent_state
+        state = shard_agent_state(state, mesh)
 
     mgr = None
     start_call = 0
     # Checkpoints always hold the CANONICAL flax-tree layout; agents
-    # whose native training layout differs (DDPG's kernel-learner mode
+    # whose native training layout differs (the kernel-learner mode
     # keeps flat kernel operands) convert at the save/restore boundary,
     # so checkpoints stay interchangeable across learner modes and
     # backends. Conversions run under jit: ~100 tiny relayout ops as one
-    # dispatch instead of ~100 tunnel round-trips.
-    to_tree = jax.jit(getattr(agent, "state_to_tree", lambda s: s))
-    from_tree = jax.jit(getattr(agent, "state_from_tree", lambda s: s))
+    # dispatch instead of ~100 tunnel round-trips. Under shardmap the
+    # LOCAL agent owns the training layout.
+    layout_owner = local_agent if local_agent is not None else agent
+    to_tree = jax.jit(getattr(layout_owner, "state_to_tree", lambda s: s))
+    from_tree = jax.jit(getattr(layout_owner, "state_from_tree",
+                                lambda s: s))
     if run.ckpt_dir:
         from .ckpt import CheckpointManager
         mgr = CheckpointManager(
@@ -236,16 +258,10 @@ def main(argv=None) -> int:
                            initial_episode_ids=seed_ids)
 
     if use_shardmap:
-        # Explicit-communication learner: chip-local replay sampling,
-        # gradient pmeans as the only cross-chip traffic (dist/shardmap.py).
-        from .dist import DATA_AXIS, make_shardmap_train_step
-        agent_cls, cfg_cls, _ = _AGENTS[run.agent]
-        local_env = CartPole3D(env.params,
-                               num_envs=run.num_envs // mesh.size,
-                               obs_mode=run.obs_mode)
-        local_agent = agent_cls(local_env, agent.cfg,
-                                dist_axis=DATA_AXIS,
-                                num_shards=mesh.size)
+        # Explicit-communication learner: chip-local replay sampling;
+        # cross-chip traffic is the gradient pmeans (XLA learner) or the
+        # minibatch all_gather (kernel learner) — dist/shardmap.py.
+        from .dist import make_shardmap_train_step
         step = make_shardmap_train_step(local_agent, mesh, state,
                                         capture=sink is not None)
     elif mesh is not None:

