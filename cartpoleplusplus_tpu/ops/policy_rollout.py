@@ -297,12 +297,20 @@ def fusable(env, hidden) -> bool:
             and len(hidden) >= 1)
 
 
-def _pick_block(b: int) -> int:
-    """Largest env-block <= 8192 (the measured VMEM budget: the (F, BB)
-    obs scratch + double-buffered traj output blocks at BB=8192 fill
-    the 16 MB scoped limit; 16384 needs 29.9 MB) that divides the batch
-    and keeps lane/sublane alignment (multiple of 1024)."""
-    for bb in range(8192, 0, -1024):
+def _pick_block(b: int, obs_dim: int = 42) -> int:
+    """Largest env-block that fits the measured VMEM budget, divides the
+    batch, and keeps lane/sublane alignment (multiple of 1024).
+
+    The budget anchor: at the default obs layout (obs_dim=42, i.e. 3
+    action repeats) BB=8192 fills the 16 MB scoped-VMEM limit (the
+    (F, BB) obs scratch + double-buffered (F+4, BB) traj output blocks
+    dominate and scale with F; BB=16384 needs 29.9 MB — hardware
+    compile error, round-2 measurement). Non-default obs stacks scale
+    the ceiling by 42/obs_dim; it is never raised above the measured
+    8192 (no extrapolation past the measurement)."""
+    ceil = min(8192, (8192 * 42 // max(obs_dim, 1)) // 1024 * 1024)
+    ceil = max(ceil, 1024)
+    for bb in range(ceil, 0, -1024):
         if b % bb == 0:
             return bb
     raise ValueError(f"num_envs {b} not a multiple of 1024")
@@ -332,7 +340,7 @@ def policy_rollout(env, hidden, ou_theta: float, num_steps: int,
     if not fusable(env, hidden):
         raise ValueError("env/config shape not coverable by the fused "
                          "actor rollout (see ops.policy_rollout.fusable)")
-    bb = block_envs or _pick_block(b)
+    bb = block_envs or _pick_block(b, _FRAME_COMPS * p.action_repeats)
     if b % bb or bb % 1024:
         raise ValueError(f"block_envs {bb} must divide num_envs {b} and "
                          "be a multiple of 1024")
@@ -741,7 +749,7 @@ def _stateless_policy_rollout(env, hidden, num_steps: int, mode: str,
     if not ok:
         raise ValueError("env/config shape not coverable by the fused "
                          f"{mode} rollout (see ops.policy_rollout)")
-    bb = block_envs or _pick_block(b)
+    bb = block_envs or _pick_block(b, _FRAME_COMPS * p.action_repeats)
     if b % bb or bb % 1024:
         raise ValueError(f"block_envs {bb} must divide num_envs {b} and "
                          "be a multiple of 1024")

@@ -85,9 +85,10 @@ def test_env_blocked_grid_matches_unblocked():
     in sequence) produce the same trajectories and final state as
     block_envs=2048 — per-env math keys on (env seed, step), never
     batch position (this is what lifts the VMEM batch ceiling above
-    8192 envs on hardware). Float leaves compare to one-ulp tolerance:
-    interpret mode lowers the actor matmul to an XLA CPU dot whose
-    reduction order varies with the batch width. Integer/bool leaves
+    8192 envs on hardware). On hardware the split should be bitwise
+    (the actor matmul contracts over features, not batch); the loose
+    rtol=1e-4 here covers interpret mode only, which lowers the matmul
+    to an XLA CPU dot whose reduction order varies with batch width. Integer/bool leaves
     (steps, episode, done) must be EXACT — a flipped termination would
     cascade."""
     agent = _agent(num_envs=2048)
