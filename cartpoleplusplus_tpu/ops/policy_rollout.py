@@ -301,15 +301,23 @@ def _pick_block(b: int, obs_dim: int = 42) -> int:
     """Largest env-block that fits the measured VMEM budget, divides the
     batch, and keeps lane/sublane alignment (multiple of 1024).
 
-    The budget anchor: at the default obs layout (obs_dim=42, i.e. 3
-    action repeats) BB=8192 fills the 16 MB scoped-VMEM limit (the
-    (F, BB) obs scratch + double-buffered (F+4, BB) traj output blocks
-    dominate and scale with F; BB=16384 needs 29.9 MB — hardware
-    compile error, round-2 measurement). Non-default obs stacks scale
-    the ceiling by 42/obs_dim; it is never raised above the measured
-    8192 (no extrapolation past the measurement)."""
+    The budget anchors (hardware measurements): at the default obs
+    layout (obs_dim=42, i.e. 3 action repeats) BB=8192 fills the 16 MB
+    scoped-VMEM limit when nb=1 (the (F, BB) obs scratch + traj output
+    blocks dominate and scale with F; BB=16384 needs 29.9 MB — compile
+    error). When the batch needs MULTIPLE blocks (nb > 1) Mosaic
+    double-buffers every per-env-block operand (their blocks change
+    with the grid's bi axis), which halves the usable budget: BB=8192
+    at nb=2 was measured at 19.88 MB (compile error), so blocked mode
+    caps at 4096. Non-default obs stacks scale both ceilings by
+    42/obs_dim; never raised above the measurements."""
     ceil = min(8192, (8192 * 42 // max(obs_dim, 1)) // 1024 * 1024)
     ceil = max(ceil, 1024)
+    if b <= ceil:           # nb = 1: single-buffered, full budget
+        for bb in range(ceil, 0, -1024):
+            if b % bb == 0:
+                return bb
+    ceil = max(ceil // 2, 1024)  # nb > 1: double-buffered operands
     for bb in range(ceil, 0, -1024):
         if b % bb == 0:
             return bb
