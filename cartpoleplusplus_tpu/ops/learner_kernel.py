@@ -1287,3 +1287,202 @@ def unflatten_naf(flat, hidden):
         p[f"Dense_{i}"] = {"kernel": jnp.transpose(wh[lo:hi]),
                            "bias": bh[0, lo:hi]}
     return {"params": p}
+
+
+# --------------------------------------------------------------------------
+# LRPG: fused update phase for the on-policy softmax policy gradient.
+#
+# Reference counterpart: the per-episode likelihood-ratio update of
+# `lrpg_cartpole.py` (SURVEY.md §2a/§3.2; reference mount empty this
+# session). Semantics here are exactly agents/lrpg.py::_loss under
+# jax.grad + one optax.adam step, on the (T*B)-row rollout window with
+# precomputed advantages: loss = -mean(logp[a] * adv)
+# - entropy_coef * mean(H), H = -sum_i p_i logp_i. The softmax gradient
+# is closed-form, so no autodiff is needed inside the kernel:
+#   dlogits = (adv * (p - onehot_a) + coef * p * (logp + H)) / N.
+# Pad lanes (num_actions..7) carry exactly-zero probability and
+# gradient: the head pad rows are zero, the lane mask sends their
+# logits to -inf for the softmax (p = 0) and zeroes their logp term,
+# so p - onehot = 0 and p*(logp + H) = 0 there — the invariant that
+# keeps the padded head rows zero through training.
+#
+# Unlike the replay agents there is ONE update per train step, so the
+# grid is just (NB,) batch blocks: gradients accumulate in VMEM
+# scratch across blocks and a single Adam step applies at the last.
+# PolicyMLP shares ActorMLP/QNetMLP's tree structure, so the
+# flatten_actor layout and mlp_fwd/mlp_bwd apply verbatim.
+#
+# The numerical twin is `lrpg_update_phase_math` below, pinned against
+# agents/lrpg.py's jax.grad + optax path AND this kernel in interpret
+# mode by tests/test_learner_kernel.py.
+# --------------------------------------------------------------------------
+
+def lrpg_phase_block(params, obs, act, adv, hidden, num_actions: int,
+                     entropy_coef: float, inv_n: float):
+    """Policy-gradient contribution of one (B, F) row block. act is
+    (B, 1) i32, adv (B, 1) f32 (already window-normalized). Returns
+    (flat grads, loss contribution)."""
+    logits8, res = mlp_fwd(obs, params, hidden)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (obs.shape[0], 8), 1)
+    valid = lanes < num_actions
+    zm = jnp.max(jnp.where(valid, logits8, np.float32(-3.4e38)),
+                 axis=1, keepdims=True)
+    ex = jnp.where(valid, jnp.exp(logits8 - zm), 0.0)
+    z = jnp.sum(ex, axis=1, keepdims=True)
+    p = ex / z
+    logp = jnp.where(valid, logits8 - zm - jnp.log(z), 0.0)
+    onehot = (lanes == act).astype(jnp.float32)
+    lp_a = jnp.sum(logp * onehot, axis=1, keepdims=True)
+    ent = -jnp.sum(p * logp, axis=1, keepdims=True)
+    coef, inv = np.float32(entropy_coef), np.float32(inv_n)
+    dlogits = inv * (adv * (p - onehot) + coef * p * (logp + ent))
+    grads = mlp_bwd(dlogits, params, hidden, res)
+    loss = inv * jnp.sum(-lp_a * adv - coef * ent)
+    return grads, loss
+
+
+def lrpg_update_phase_math(params, m, v, window, t0, hidden, *, lr,
+                           entropy_coef, num_actions: int = 5,
+                           num_blocks: int = 1):
+    """One LRPG Adam update on flat operand lists — the kernel's
+    componentwise jnp twin. window: (obs (N, F), action (N,) i32,
+    advantage (N,) f32) with N = rollout_steps * num_envs flattened.
+    Returns (params, m, v, loss ())."""
+    n = window[0].shape[0]
+    blk = n // num_blocks
+    inv = 1.0 / n
+    obs, act, adv = window
+    act = act.astype(jnp.int32)[:, None]
+    adv = adv[:, None]
+    g_acc, loss = None, jnp.float32(0.0)
+    for j in range(num_blocks):
+        sl = slice(j * blk, (j + 1) * blk)
+        g, ls = lrpg_phase_block(params, obs[sl], act[sl], adv[sl],
+                                 hidden, num_actions, entropy_coef, inv)
+        g_acc = g if g_acc is None else [a + b for a, b in zip(g_acc, g)]
+        loss = loss + ls
+    tk = (t0 + 1).astype(jnp.float32)
+    new = [adam_step(p, mm, vv, g, tk, lr)
+           for p, mm, vv, g in zip(params, m, v, g_acc)]
+    params, m, v = ([x[i] for x in new] for i in range(3))
+    return params, m, v, loss
+
+
+def _lrpg_update_kernel(hidden, na: int, nb: int, lr: float,
+                        entropy_coef: float, inv_n: float,
+                        num_actions: int, *refs):
+    obs_ref, act_ref, adv_ref = refs[:3]
+    par_in = refs[3:3 + 3 * na]
+    t0_ref = refs[3 + 3 * na]
+    outs = refs[4 + 3 * na:4 + 6 * na]
+    loss_ref = refs[4 + 6 * na]
+    scratch = refs[5 + 6 * na:]
+    acc = scratch[:na]
+    loss_s = scratch[na]
+
+    j = pl.program_id(0)
+    p_in = par_in[:na]
+    m_in = par_in[na:2 * na]
+    v_in = par_in[2 * na:3 * na]
+
+    # Params are read-only until the single Adam apply at the last
+    # block, so the phase block reads the input refs directly — no
+    # VMEM working copy (unlike the K-update kernels).
+    grads, loss = lrpg_phase_block(
+        [r[:] for r in p_in], obs_ref[:], act_ref[:], adv_ref[:],
+        hidden, num_actions, entropy_coef, inv_n)
+    tile = jnp.full((1, 128), loss, jnp.float32)
+
+    @pl.when(j == 0)
+    def _first():
+        for dst, g in zip(acc, grads):
+            dst[:] = g
+        loss_s[:] = tile
+
+    @pl.when(j > 0)
+    def _rest():
+        for dst, g in zip(acc, grads):
+            dst[:] = dst[:] + g
+        loss_s[:] = loss_s[:] + tile
+
+    @pl.when(j == nb - 1)
+    def _apply():
+        tk = (t0_ref[0, 0] + 1).astype(jnp.float32)
+        for po, mo, vo, p, m, v, g in zip(outs[:na], outs[na:2 * na],
+                                          outs[2 * na:3 * na], p_in,
+                                          m_in, v_in, acc):
+            pn, mn, vn = adam_step(p[:], m[:], v[:], g[:], tk, lr)
+            po[:] = pn
+            mo[:] = mn
+            vo[:] = vn
+        loss_ref[:] = jnp.concatenate(
+            [loss_s[:], jnp.zeros((7, 128), jnp.float32)], axis=0)
+
+
+def lrpg_update_phase(hidden, obs_dim: int, n_rows: int, *, lr: float,
+                      entropy_coef: float, num_actions: int = 5,
+                      block_size: int = 1024, interpret: bool = False,
+                      mm_precision: str | None = None):
+    """Builder: the LRPG update (one Adam step on the whole rollout
+    window) as one pallas_call. Returned fn(groups, window, t0) ->
+    (groups', loss ()) with groups = (params, m, v) flat operand lists
+    (flatten_actor layout — PolicyMLP shares ActorMLP's tree
+    structure), window = (obs (N, F), action (N,) i32, advantage (N,)
+    f32), and t0 the optax Adam step count before this update."""
+    hidden = tuple(hidden)
+    a_sh = actor_shapes(hidden, obs_dim)
+    na = len(a_sh)
+    blk = min(block_size, n_rows)
+    if n_rows % blk:
+        raise ValueError(f"n_rows {n_rows} not divisible by block {blk}")
+    nb = n_rows // blk
+
+    kernel = functools.partial(_lrpg_update_kernel, hidden, na, nb, lr,
+                               entropy_coef, 1.0 / n_rows, num_actions)
+
+    def row_spec(width):
+        return pl.BlockSpec((blk, width), lambda j: (j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def par_spec(shape):
+        return pl.BlockSpec(shape, lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    flat_shapes = a_sh * 3
+    in_specs = (
+        [row_spec(obs_dim), row_spec(1), row_spec(1)]
+        + [par_spec(s) for s in flat_shapes]
+        + [pl.BlockSpec((1, 1), lambda j: (0, 0),
+                        memory_space=pltpu.SMEM)]
+    )
+    out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32)
+                  for s in flat_shapes]
+                 + [jax.ShapeDtypeStruct((8, 128), jnp.float32)])
+    out_specs = ([par_spec(s) for s in flat_shapes]
+                 + [pl.BlockSpec((8, 128), lambda j: (0, 0),
+                                 memory_space=pltpu.VMEM)])
+    scratch_shapes = ([pltpu.VMEM(s, jnp.float32) for s in a_sh]
+                      + [pltpu.VMEM((1, 128), jnp.float32)])
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )
+
+    def run(groups, window, t0):
+        obs, act, adv = window
+        n = obs.shape[0]
+        args = ([obs, act.astype(jnp.int32).reshape(n, 1),
+                 adv.reshape(n, 1)]
+                + [arr for g in groups for arr in g]
+                + [jnp.asarray(t0, jnp.int32).reshape(1, 1)])
+        out = _with_mm_precision(call, mm_precision, args)
+        new_groups = tuple(list(out[i * na:(i + 1) * na])
+                           for i in range(3))
+        return new_groups, out[3 * na][0, 0]
+
+    return run

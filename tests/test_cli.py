@@ -330,3 +330,32 @@ def test_train_steps_per_dispatch_chunked(tmp_path, capsys):
     assert validate(str(log)) >= 1
     chunks = [r for k, r in read_records(str(log)) if k == "chunk"]
     assert sum(len(c["reward"]) for c in chunks) == 12 * 8
+
+
+def test_lrpg_kernel_learner_cli_and_cross_layout_ckpt(tmp_path, capsys):
+    """--lrpg.learner kernel trains through the fused softmax-PG update
+    kernel (interpret on CPU) on a flat-layout state; checkpoints hold
+    the CANONICAL tree layout, so an XLA-mode --eval-only restores the
+    same weights (cross-layout round trip), and the metrics stream
+    reports which learner ran (learner_impl)."""
+    ck = tmp_path / "ck"
+    base = ["--agent", "lrpg", "--num-envs", "16",
+            "--total-env-steps", "8", "--log-interval", "1",
+            "--seed", "3", "--ckpt-dir", str(ck),
+            "--lrpg.hidden", "16", "16", "--lrpg.rollout-steps", "2",
+            "--lrpg.learner-block", "16"]
+    rc = main(base + ["--lrpg.learner", "kernel"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert np.isfinite(lines[-1]["loss"])
+    assert lines[-1]["learner_impl"] == 1.0
+
+    evals = []
+    for learner in ("xla", "kernel"):
+        rc = main(base + ["--lrpg.learner", learner, "--eval-only",
+                          "--eval-steps", "16"])
+        assert rc == 0
+        out = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        evals.append(out[0]["reward_mean"])
+    # Both learner modes restore the identical canonical weights.
+    assert evals[0] == evals[1]

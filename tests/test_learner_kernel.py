@@ -570,3 +570,117 @@ def test_kernel_learner_bf16_precision_stays_close():
         v = float(np.asarray(m_k[key]))
         assert np.isfinite(v)
         np.testing.assert_allclose(v, float(np.asarray(m_x[key])), **tol)
+
+
+# --------------------------------------------------------------------------
+# LRPG fused update phase
+# --------------------------------------------------------------------------
+
+from cartpoleplusplus_tpu.agents import LRPG, LRPGConfig
+
+N_ROWS = 128  # rollout window rows (T * B) for the synthetic tests
+
+
+def _lrpg_agent(**kw):
+    env = CartPole3D(CartPoleParams(), num_envs=8)
+    cfg = LRPGConfig(hidden=HIDDEN, lr=1e-3, **kw)
+    return LRPG(env, cfg)
+
+
+def _lrpg_window(key, obs_dim, n=N_ROWS, num_actions=5):
+    ks = jax.random.split(key, 3)
+    obs = jax.random.normal(ks[0], (n, obs_dim)) * 0.3
+    act = jax.random.randint(ks[1], (n,), 0, num_actions)
+    adv = jax.random.normal(ks[2], (n,))
+    return obs, act, adv
+
+
+def test_lrpg_math_twin_matches_jax_grad_optax():
+    """lrpg_update_phase_math (closed-form softmax gradient + Adam) must
+    reproduce jax.grad(agent._loss) + optax.adam exactly — the anchor
+    that pins the hand-derived dlogits (pg + entropy) against autodiff."""
+    import optax
+
+    agent = _lrpg_agent()
+    st = agent.init(0)
+    obs, act, adv = _lrpg_window(jax.random.PRNGKey(5),
+                                 agent.env.obs_shape[0])
+    loss_ref, grad = jax.value_and_grad(agent._loss)(st.params, obs,
+                                                     act, adv)
+    upd, opt2 = agent.tx.update(grad, st.opt, st.params)
+    p_ref = optax.apply_updates(st.params, upd)
+
+    h = agent.cfg.hidden
+    out = jax.jit(functools.partial(
+        lk.lrpg_update_phase_math, hidden=HIDDEN, lr=agent.cfg.lr,
+        entropy_coef=agent.cfg.entropy_coef, num_actions=5,
+        num_blocks=4))(
+            lk.flatten_actor(st.params, h),
+            lk.flatten_actor(st.opt[0].mu, h),
+            lk.flatten_actor(st.opt[0].nu, h),
+            (obs, act, adv), st.opt[0].count)
+    tol = dict(rtol=2e-4, atol=1e-6)
+    _assert_tree_close(lk.unflatten_actor(out[0], HIDDEN, action_dim=5),
+                       p_ref, **tol)
+    _assert_tree_close(lk.unflatten_actor(out[1], HIDDEN, action_dim=5),
+                       opt2[0].mu, **tol)
+    np.testing.assert_allclose(float(out[3]), float(loss_ref),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_lrpg_kernel_interpret_matches_math_twin():
+    agent = _lrpg_agent()
+    st = agent.init(0)
+    obs_dim = agent.env.obs_shape[0]
+    window = _lrpg_window(jax.random.PRNGKey(6), obs_dim)
+    h = agent.cfg.hidden
+    groups = (lk.flatten_actor(st.params, h),
+              lk.flatten_actor(st.opt[0].mu, h),
+              lk.flatten_actor(st.opt[0].nu, h))
+    blk = 32
+    run = lk.lrpg_update_phase(HIDDEN, obs_dim, N_ROWS, lr=agent.cfg.lr,
+                               entropy_coef=agent.cfg.entropy_coef,
+                               num_actions=5, block_size=blk,
+                               interpret=True)
+    new_groups, loss = jax.jit(run)(groups, window, st.opt[0].count)
+    want = jax.jit(functools.partial(
+        lk.lrpg_update_phase_math, hidden=HIDDEN, lr=agent.cfg.lr,
+        entropy_coef=agent.cfg.entropy_coef, num_actions=5,
+        num_blocks=N_ROWS // blk))(*groups, window, st.opt[0].count)
+    tol = dict(rtol=1e-5, atol=1e-7)
+    for got_g, want_g in zip(new_groups, want[:3]):
+        _assert_tree_close(got_g, want_g, **tol)
+    np.testing.assert_allclose(float(loss), float(want[3]), **tol)
+
+
+def test_lrpg_train_step_kernel_learner_matches_xla_learner():
+    """Full LRPG train_step parity: kernel-mode agent (flat state, fused
+    softmax-PG update kernel) vs the XLA agent, same seed."""
+    cfg = dict(hidden=(32, 32), rollout_steps=8, learner_block=64)
+    env = CartPole3D(CartPoleParams(), num_envs=64)
+    ag_x = LRPG(env, LRPGConfig(learner="xla", **cfg))
+    ag_k = LRPG(env, LRPGConfig(learner="kernel", **cfg))
+    assert not ag_x.kernel_mode and ag_k.kernel_mode
+    st_x, st_k = ag_x.init(0), ag_k.init(0)
+    assert isinstance(st_k.params, (list, tuple))
+    ts_x = ag_x.make_train_step(fused=False)
+    ts_k = ag_k.make_train_step(fused=False)
+    for _ in range(4):
+        st_x, m_x = ts_x(st_x)
+        st_k, m_k = ts_k(st_k)
+    tree_k = ag_k.state_to_tree(st_k)
+    tol = dict(rtol=2e-4, atol=1e-5)
+    _assert_tree_close(tree_k.params, st_x.params, **tol)
+    assert int(st_k.opt[0].count) == int(st_x.opt[0].count)
+    np.testing.assert_allclose(float(tree_k.baseline),
+                               float(st_x.baseline), **tol)
+    for key in ("loss", "return_mean", "reward_mean", "done_frac"):
+        np.testing.assert_allclose(np.asarray(m_k[key]),
+                                   np.asarray(m_x[key]), **tol)
+    assert float(m_k["learner_impl"]) == 1.0
+    assert float(m_x["learner_impl"]) == 0.0
+    # Greedy eval works on the flat state; round-trip is the identity.
+    stats = jax.jit(lambda s: ag_k.evaluate(s, num_steps=16))(st_k)
+    assert np.isfinite(float(stats["reward_mean"]))
+    rt = ag_k.state_to_tree(ag_k.state_from_tree(tree_k))
+    _assert_tree_close(rt.params, tree_k.params, rtol=0, atol=0)
