@@ -456,8 +456,11 @@ def bench_lrpg(num_envs: int, num_steps: int):
     from cartpoleplusplus_tpu.agents import LRPG, LRPGConfig
 
     rollout = int(os.environ.get("BENCH_LRPG_ROLLOUT", "32"))
+    # "auto" (fused softmax-PG update kernel on one TPU chip) | "kernel"
+    # | "xla" — see LRPGConfig.learner.
+    learner = os.environ.get("BENCH_LRPG_LEARNER", "auto")
     env = CartPole3D(CartPoleParams(), num_envs=num_envs)
-    agent = LRPG(env, LRPGConfig(rollout_steps=rollout))
+    agent = LRPG(env, LRPGConfig(rollout_steps=rollout, learner=learner))
     rate, info = _time_train(agent, rollout, num_envs, num_steps)
     print(json.dumps({
         "metric": f"lrpg_train_env_steps_per_sec_{num_envs}envs",
@@ -465,7 +468,8 @@ def bench_lrpg(num_envs: int, num_steps: int):
         "unit": "env-steps/s",
         "vs_baseline": round(rate / 10_000_000.0, 4),
     }))
-    print(json.dumps({"rollout_steps": rollout,
+    print(json.dumps({"rollout_steps": rollout, "learner": learner,
+                      "kernel_learner_ok": agent.kernel_learner_ok(),
                       "fused": agent.fusable(), **info}), file=sys.stderr)
 
 
