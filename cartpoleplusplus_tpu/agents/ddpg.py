@@ -91,6 +91,18 @@ class DDPGConfig:
     # Matmul precision INSIDE the update kernel: None = platform
     # default; "bfloat16" = single-pass MXU matmuls (fwd+bwd+targets).
     learner_precision: str | None = None
+    # Linear learning-rate decay horizon in PER-ENV env-steps (both
+    # optimizers decay to lr * lr_end_frac over the horizon, then hold).
+    # 0 = constant lr. Round-3 motivation: long pixel-DDPG runs REGRESS
+    # past the OU-noise decay horizon (40k steps eval 136.7 -> 60k steps
+    # 90.4 — BASELINE.md round-2 table): once exploration is at the
+    # floor, a constant-lr learner keeps taking full-size steps on
+    # correlated on-distribution batches and walks away from the good
+    # policy. Scheduled on the gradient-step count (env-step horizon
+    # converted via updates_per_step / rollout_steps). XLA learner path
+    # only (the fused kernel bakes static lrs: kernel_learner_ok gates).
+    lr_decay_env_steps: int = 0
+    lr_end_frac: float = 0.1
 
 
 class DDPGState(NamedTuple):
@@ -144,8 +156,8 @@ class DDPG:
             quantize_obs=pixels,
             action_dim=env.action_dim,
             discrete=False)
-        self.actor_tx = optax.adam(config.actor_lr)
-        self.critic_tx = optax.adam(config.critic_lr)
+        self.actor_tx = optax.adam(self._lr(config.actor_lr))
+        self.critic_tx = optax.adam(self._lr(config.critic_lr))
         # Resolve the learner implementation once, at construction: the
         # kernel learner keeps its state in the kernel's flat operand
         # layout PERMANENTLY (trees cost ~100 relayout ops per train
@@ -363,7 +375,20 @@ class DDPG:
                 and c.polyak_cadence == "per_update"
                 and c.dtype == "float32"
                 and c.batch_size % max(self.num_shards, 1) == 0
+                and c.lr_decay_env_steps == 0  # kernel bakes static lrs
                 and self.local_batch_size % 8 == 0)
+
+    def _lr(self, lr: float):
+        """Constant lr, or the linear-decay optax schedule keyed on the
+        gradient-step count (lr_decay_env_steps is in per-env steps;
+        each per-env step contributes updates_per_step/rollout_steps
+        gradient steps)."""
+        c = self.cfg
+        if c.lr_decay_env_steps <= 0:
+            return lr
+        steps = max(c.lr_decay_env_steps * c.updates_per_step
+                    // max(c.rollout_steps, 1), 1)
+        return optax.linear_schedule(lr, lr * c.lr_end_frac, steps)
 
     @property
     def _kernel_batch_size(self) -> int:

@@ -522,3 +522,33 @@ def test_train_scan_capture_matches_loop_chunks():
         for field_scan, field_loop in zip(stacked, chunk):
             np.testing.assert_array_equal(np.asarray(field_scan[i]),
                                           np.asarray(field_loop))
+
+
+def test_ddpg_lr_decay_schedule():
+    """lr_decay_env_steps wires a linear optax schedule into both
+    optimizers (gradient-step keyed), trains finitely, and gates the
+    fused update kernel off (it bakes static lrs)."""
+    import math
+
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    env = CartPole3D(continuous_params(), num_envs=32)
+    cfg = dict(hidden=(16, 16), rollout_steps=4, updates_per_step=2,
+               batch_size=32, replay_capacity_per_env=16,
+               warmup_env_steps=0)
+    ag_d = DDPG(env, DDPGConfig(lr_decay_env_steps=8, **cfg))
+    ag_c = DDPG(env, DDPGConfig(**cfg))
+    assert not ag_d.kernel_learner_ok()
+    st = ag_d.init(0)
+    step = jax.jit(ag_d.train_step)
+    for _ in range(6):
+        st, m = step(st)
+    assert int(st.critic_opt[0].count) == 12
+    assert math.isfinite(float(m["critic_loss"]))
+    # Decayed-lr params diverge from the constant-lr run (same seed).
+    st_c = ag_c.init(0)
+    step_c = jax.jit(ag_c.train_step)
+    for _ in range(6):
+        st_c, _ = step_c(st_c)
+    leaves = zip(jax.tree.leaves(st.critic), jax.tree.leaves(st_c.critic))
+    assert any(float(jnp.max(jnp.abs(a - b))) > 0 for a, b in leaves)
