@@ -63,6 +63,12 @@ class NAFConfig:
     learner: str = "auto"
     learner_block: int = 512         # kernel batch-block (VMEM budget)
     learner_precision: str | None = None  # in-kernel matmul precision
+    # Linear lr decay to lr * lr_end_frac over a PER-ENV step horizon
+    # (0 = constant) — same late-training-drift rationale as
+    # DDPGConfig.lr_decay_env_steps; gradient-step keyed. XLA learner
+    # path only (the fused kernel bakes a static lr).
+    lr_decay_env_steps: int = 0
+    lr_end_frac: float = 0.1
 
 
 class NAFState(NamedTuple):
@@ -96,10 +102,16 @@ class NAF:
             num_envs=env.num_envs,
             capacity_per_env=config.replay_capacity_per_env,
             obs_dim=env.obs_size, action_dim=env.action_dim, discrete=False)
+        lr = config.lr
+        if config.lr_decay_env_steps > 0:
+            lr = optax.linear_schedule(
+                lr, lr * config.lr_end_frac,
+                max(config.lr_decay_env_steps * config.updates_per_step
+                    // max(config.rollout_steps, 1), 1))
         self.tx = (optax.chain(optax.clip_by_global_norm(
-                       config.max_grad_norm), optax.adam(config.lr))
+                       config.max_grad_norm), optax.adam(lr))
                    if config.max_grad_norm > 0.0
-                   else optax.adam(config.lr))
+                   else optax.adam(lr))
         if config.learner == "kernel":
             if not self.kernel_learner_ok():
                 raise ValueError("config shape not coverable by the "
@@ -130,6 +142,7 @@ class NAF:
                 and len(c.hidden) >= 1
                 and c.updates_per_step >= 1   # a K=0 phase has no grid
                 and c.dtype == "float32"
+                and c.lr_decay_env_steps == 0  # kernel bakes a static lr
                 and c.batch_size % max(self.num_shards, 1) == 0
                 and local_batch(c.batch_size, self.num_shards) % 8 == 0)
 
