@@ -399,8 +399,17 @@ class DDPG:
 
     def _kernel_block(self) -> int:
         """Largest power-of-two-reduced block <= learner_block that
-        divides the minibatch (the kernel grid needs uniform blocks)."""
+        divides the minibatch (the kernel grid needs uniform blocks).
+
+        Hardware measurement (round 3): at K=16 updates x batch 8192 the
+        kernel's scoped-VMEM sits 50 KB over the 16 MB limit at block
+        512 (the per-update loss output block and the double-buffered
+        batch blocks grow with K) — halve the block above K=8 unless the
+        user explicitly sized it."""
         blk = min(self.cfg.learner_block, self._kernel_batch_size)
+        if (self.cfg.updates_per_step > 8 and self.cfg.learner_block == 512
+                and blk > 256):
+            blk = 256
         while self._kernel_batch_size % blk:
             blk //= 2
         return blk
