@@ -73,11 +73,21 @@ def returns_to_go(reward, done, gamma: float, bootstrap):
 
 
 class LRPG:
-    def __init__(self, env: CartPole3D, config: LRPGConfig = LRPGConfig()):
+    def __init__(self, env: CartPole3D, config: LRPGConfig = LRPGConfig(),
+                 dist_axis: str | None = None, num_shards: int = 1):
+        """dist_axis / num_shards: set when train_step runs inside
+        shard_map (dist/shardmap.py) with a PER-SHARD env. The window
+        statistics the update depends on (returns baseline, advantage
+        mean/std) become GLOBAL via pmean, and the gradient pmeans over
+        the axis (kernel mode all_gathers the window instead — see
+        _kernel_update), so the sharded math equals the single-device
+        run on the union batch."""
         if not env.params.discrete_actions:
             raise ValueError("LRPG needs the discrete env")
         self.env = env
         self.cfg = config
+        self.dist_axis = dist_axis
+        self.num_shards = num_shards
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         self.net = PolicyMLP(num_actions=env.num_actions,
                              hidden=config.hidden, dtype=dtype)
@@ -89,9 +99,12 @@ class LRPG:
                                  "LRPG.kernel_learner_ok)")
             self.kernel_mode = True
         elif config.learner == "auto":
+            # Same placement rule as resolve_fused: single device, or
+            # per-shard bodies under shard_map (dist_axis).
             self.kernel_mode = (self.kernel_learner_ok()
                                 and jax.default_backend() == "tpu"
-                                and len(jax.devices()) == 1)
+                                and (len(jax.devices()) == 1
+                                     or self.dist_axis is not None))
         elif config.learner == "xla":
             self.kernel_mode = False
         else:
@@ -219,16 +232,26 @@ class LRPG:
         # trade-off for the fixed window; exact at episode boundaries).
         g = returns_to_go(rew_t, done_t, c.gamma,
                           jnp.full((self.env.num_envs,), st.baseline))
+        # Window statistics are GLOBAL under shard_map (equal shard
+        # sizes make mean-of-shard-means the union mean), so the
+        # sharded update equals the single-device update on the union
+        # window.
+        def gmean(x):
+            m = jnp.mean(x)
+            return (jax.lax.pmean(m, self.dist_axis)
+                    if self.dist_axis is not None else m)
+
+        g_mean = gmean(g)
         baseline = ((1.0 - c.baseline_rate) * st.baseline
-                    + c.baseline_rate * jnp.mean(g))
+                    + c.baseline_rate * g_mean)
         # Window-mean-centered, normalized advantages. Centering is what
         # prevents softmax collapse: an uncentered positive advantage
         # reinforces every sampled action, which locks the policy onto the
         # initially-likeliest one within a few updates (observed
         # empirically). The EMA baseline's only remaining role is the
         # returns bootstrap above.
-        adv = g - jnp.mean(g)
-        adv = adv / (jnp.std(adv) + 1e-6)
+        adv = g - g_mean
+        adv = adv / (jnp.sqrt(gmean(adv * adv)) + 1e-6)
 
         if self.kernel_mode:
             params, opt, loss = self._kernel_update(
@@ -236,6 +259,8 @@ class LRPG:
         else:
             loss, grad = jax.value_and_grad(self._loss)(
                 st.params, obs_t, act_t, jax.lax.stop_gradient(adv))
+            if self.dist_axis is not None:
+                loss, grad = jax.lax.pmean((loss, grad), self.dist_axis)
             upd, opt = self.tx.update(grad, st.opt, st.params)
             params = optax.apply_updates(st.params, upd)
 
@@ -244,9 +269,9 @@ class LRPG:
                        env_steps=st.env_steps + c.rollout_steps)
         metrics = {
             "loss": loss,
-            "return_mean": jnp.mean(g),
-            "reward_mean": jnp.mean(rew_t),
-            "done_frac": jnp.mean(done_t.astype(jnp.float32)),
+            "return_mean": g_mean,
+            "reward_mean": gmean(rew_t),
+            "done_frac": gmean(done_t.astype(jnp.float32)),
             "env_steps": st.env_steps,
             # 1.0 = fused Pallas update kernel, 0.0 = XLA jax.grad+optax.
             "learner_impl": jnp.float32(1.0 if self.kernel_mode else 0.0),
@@ -259,11 +284,19 @@ class LRPG:
         """The softmax-PG Adam update as ONE Pallas kernel
         (ops/learner_kernel.py::lrpg_update_phase) — the op-stream-free
         twin of jax.grad(self._loss) + optax (same math, closed-form
-        softmax gradient; tests/test_learner_kernel.py pins both)."""
+        softmax gradient; tests/test_learner_kernel.py pins both).
+
+        Under shard_map the kernel composes via window replication
+        (gradients cannot pmean inside a pallas_call): each shard
+        all_gathers the (T*B_local)-row windows into the union window
+        (one ICI collective per train step) and runs the IDENTICAL
+        full-window kernel redundantly, so params stay
+        bitwise-replicated and the math equals the XLA pmean path."""
         from ..ops import learner_kernel as lk
 
         c = self.cfg
-        n = c.rollout_steps * self.env.num_envs
+        n_local = c.rollout_steps * self.env.num_envs
+        n = n_local * max(self.num_shards, 1)
         blk = min(c.learner_block, n)
         while n % blk:
             blk //= 2
@@ -273,8 +306,12 @@ class LRPG:
             num_actions=self.env.num_actions, block_size=blk,
             interpret=jax.default_backend() != "tpu",
             mm_precision=c.learner_precision)
-        window = (obs_t.reshape(n, -1), act_t.reshape(n),
-                  adv.reshape(n))
+        window = (obs_t.reshape(n_local, -1), act_t.reshape(n_local),
+                  adv.reshape(n_local))
+        if self.dist_axis is not None:
+            window = tuple(
+                jax.lax.all_gather(x, self.dist_axis, axis=0, tiled=True)
+                for x in window)
         groups = (st.params, st.opt[0].mu, st.opt[0].nu)
         t0 = st.opt[0].count
         new, loss = run(groups, window, t0)

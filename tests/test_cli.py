@@ -359,3 +359,37 @@ def test_lrpg_kernel_learner_cli_and_cross_layout_ckpt(tmp_path, capsys):
         evals.append(out[0]["reward_mean"])
     # Both learner modes restore the identical canonical weights.
     assert evals[0] == evals[1]
+
+
+def test_preset_fast_merges_without_clobbering(tmp_path, capsys):
+    """--preset fast lifts unset run/agent fields to the measured
+    high-throughput recipe; explicitly-typed flags always win."""
+    from cartpoleplusplus_tpu.train import build, build_parser
+    from cartpoleplusplus_tpu.config import (RunConfig, explicit_dests,
+                                             from_args)
+
+    argv = ["--agent", "ddpg", "--preset", "fast", "--num-envs", "64",
+            "--ddpg.updates-per-step", "2",
+            "--ddpg.replay-capacity-per-env", "8"]
+    args = build_parser().parse_args(argv)
+    provided = explicit_dests(build_parser(), argv)
+    run = from_args(RunConfig, args)
+    import dataclasses as dc
+    from cartpoleplusplus_tpu.train import _FAST_PRESETS
+    run = dc.replace(run, **{k: v
+                             for k, v in _FAST_PRESETS["ddpg"]["run"].items()
+                             if k not in provided})
+    env, agent = build(run, args, provided)
+    assert run.num_envs == 64                      # explicit flag wins
+    assert run.total_env_steps == 320_000          # lifted
+    assert run.steps_per_dispatch == 32            # lifted
+    assert agent.cfg.updates_per_step == 2         # explicit flag wins
+    assert agent.cfg.rollout_steps == 64           # lifted
+    assert agent.cfg.batch_size == 8192            # lifted
+    assert agent.cfg.ou_sigma_decay_env_steps == 64_000
+
+
+def test_preset_fast_unknown_agent_errors(capsys):
+    rc = main(["--agent", "dqn", "--preset", "fast",
+               "--total-env-steps", "4"])
+    assert rc == 2

@@ -347,3 +347,55 @@ def test_lrpg_sampling_batch_slot_independent():
     np.testing.assert_array_equal(
         np.asarray(a_full),
         np.concatenate([np.asarray(a_lo), np.asarray(a_hi)]))
+
+
+def test_shardmap_lrpg_matches_single_device():
+    """LRPG under shard_map (round 3: the last agent family to get a
+    dist path) matches the single-device agent on the union window for
+    BOTH learners: the window statistics (returns baseline, advantage
+    mean/std) pmean to the global values, the XLA gradient pmeans, and
+    the kernel learner all_gathers the window and runs the identical
+    full-window kernel on every shard (replicated-identical params)."""
+    from cartpoleplusplus_tpu.agents import LRPG, LRPGConfig
+    from cartpoleplusplus_tpu.dist import (DATA_AXIS,
+                                           make_shardmap_train_step)
+
+    n = 8
+    mesh = make_mesh(jax.devices()[:n])
+    params = CartPoleParams()
+    base = dict(hidden=(16, 16), rollout_steps=2, learner_block=16)
+
+    # Single-device reference on the global env (XLA learner).
+    ag_g = LRPG(CartPole3D(params, num_envs=8 * n),
+                LRPGConfig(**base, learner="xla"))
+    st_g = ag_g.init(0)
+    step_g = ag_g.make_train_step(fused=False)
+    for _ in range(3):
+        st_g, m_g = step_g(st_g)
+
+    tol = dict(rtol=2e-4, atol=1e-5)
+    for learner in ("xla", "kernel"):
+        cfg = LRPGConfig(**base, learner=learner)
+        st = shard_agent_state(
+            LRPG(CartPole3D(params, num_envs=8 * n), cfg).init(0), mesh)
+        agent_l = LRPG(CartPole3D(params, num_envs=8), cfg,
+                       dist_axis=DATA_AXIS, num_shards=n)
+        assert agent_l.kernel_mode == (learner == "kernel")
+        step = make_shardmap_train_step(agent_l, mesh, st)
+        for _ in range(3):
+            st, metrics = step(st)
+        assert float(metrics["learner_impl"]) == float(learner == "kernel")
+        tree = agent_l.state_to_tree(st)
+        for lx, lg in zip(jax.tree.leaves(tree.params),
+                          jax.tree.leaves(st_g.params)):
+            np.testing.assert_allclose(np.asarray(lx), np.asarray(lg),
+                                       **tol)
+        np.testing.assert_allclose(float(tree.baseline),
+                                   float(st_g.baseline), **tol)
+        np.testing.assert_allclose(float(metrics["loss"]),
+                                   float(m_g["loss"]), **tol)
+        # Params stay bitwise-identical across shards.
+        leaf = jax.tree.leaves(st.params)[0]
+        shards = [np.asarray(leaf.addressable_data(i)) for i in range(n)]
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(shards[0], sh)
