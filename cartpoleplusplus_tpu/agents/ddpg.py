@@ -99,8 +99,9 @@ class DDPGConfig:
     # floor, a constant-lr learner keeps taking full-size steps on
     # correlated on-distribution batches and walks away from the good
     # policy. Scheduled on the gradient-step count (env-step horizon
-    # converted via updates_per_step / rollout_steps). XLA learner path
-    # only (the fused kernel bakes static lrs: kernel_learner_ok gates).
+    # converted via updates_per_step / rollout_steps). Covered by BOTH
+    # learners (the kernel computes the optax.linear_schedule twin from
+    # its Adam step count — ops/learner_kernel.py::_sched_lr).
     lr_decay_env_steps: int = 0
     lr_end_frac: float = 0.1
 
@@ -375,20 +376,26 @@ class DDPG:
                 and c.polyak_cadence == "per_update"
                 and c.dtype == "float32"
                 and c.batch_size % max(self.num_shards, 1) == 0
-                and c.lr_decay_env_steps == 0  # kernel bakes static lrs
                 and self.local_batch_size % 8 == 0)
+
+    def _lr_schedule(self):
+        """(end_frac, transition_steps) for the in-kernel lr schedule,
+        or None (constant lr) — the optax.linear_schedule twin
+        (ops/learner_kernel.py::_sched_lr)."""
+        c = self.cfg
+        if c.lr_decay_env_steps <= 0:
+            return None
+        return (c.lr_end_frac,
+                max(c.lr_decay_env_steps * c.updates_per_step
+                    // max(c.rollout_steps, 1), 1))
 
     def _lr(self, lr: float):
         """Constant lr, or the linear-decay optax schedule keyed on the
-        gradient-step count (lr_decay_env_steps is in per-env steps;
-        each per-env step contributes updates_per_step/rollout_steps
-        gradient steps)."""
-        c = self.cfg
-        if c.lr_decay_env_steps <= 0:
+        gradient-step count (the XLA-learner side of _lr_schedule)."""
+        sched = self._lr_schedule()
+        if sched is None:
             return lr
-        steps = max(c.lr_decay_env_steps * c.updates_per_step
-                    // max(c.rollout_steps, 1), 1)
-        return optax.linear_schedule(lr, lr * c.lr_end_frac, steps)
+        return optax.linear_schedule(lr, lr * sched[0], sched[1])
 
     @property
     def _kernel_batch_size(self) -> int:
@@ -430,7 +437,8 @@ class DDPG:
             block_size=self._kernel_block(),
             interpret=jax.default_backend() != "tpu",
             mm_precision=c.learner_precision,
-            actor_grad_critic=c.actor_grad_critic)
+            actor_grad_critic=c.actor_grad_critic,
+            lr_schedule=self._lr_schedule())
         presample = replay_presample(self.replay, c.sample, c.batch_size,
                                      self.num_shards, self.dist_axis)
         gather = gather_batches(self.dist_axis)

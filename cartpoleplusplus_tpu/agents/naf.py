@@ -31,10 +31,14 @@ from .replay import ReplayBuffer, ReplayState
 
 @dataclasses.dataclass(frozen=True)
 class NAFConfig:
-    # Defaults are the round-2 TPU sweep winner (BASELINE.md learning
-    # table): 40k per-env steps at 1024 envs reaches eval mean episode
-    # length 128.6/145.1 (seeds 0/1) vs ~35 for the round-1 settings
-    # (tau 0.005, 4 updates, constant sigma).
+    # Defaults are the round-3 TPU sweep winner (BASELINE.md round-3
+    # learning table): with linear lr decay over 40k per-env steps the
+    # quadratic-advantage learner no longer walks off the solved policy
+    # late in training — 80k per-env steps at 1024 envs reaches eval
+    # mean episode length 199.2/200 (median 200); 40k steps reach 194.7
+    # (round 2 plateaued at 128.6/145.1 with constant lr; the round-2
+    # '80k steps collapse to ~47/3' regression was the motivating
+    # failure).
     hidden: tuple = (256, 256)
     lr: float = 5e-4
     gamma: float = 0.99
@@ -65,9 +69,10 @@ class NAFConfig:
     learner_precision: str | None = None  # in-kernel matmul precision
     # Linear lr decay to lr * lr_end_frac over a PER-ENV step horizon
     # (0 = constant) — same late-training-drift rationale as
-    # DDPGConfig.lr_decay_env_steps; gradient-step keyed. XLA learner
-    # path only (the fused kernel bakes a static lr).
-    lr_decay_env_steps: int = 0
+    # DDPGConfig.lr_decay_env_steps; gradient-step keyed. Covered by
+    # BOTH learners (the kernel computes the optax.linear_schedule twin
+    # from its Adam step count — ops/learner_kernel.py::_sched_lr).
+    lr_decay_env_steps: int = 40000
     lr_end_frac: float = 0.1
 
 
@@ -142,9 +147,18 @@ class NAF:
                 and len(c.hidden) >= 1
                 and c.updates_per_step >= 1   # a K=0 phase has no grid
                 and c.dtype == "float32"
-                and c.lr_decay_env_steps == 0  # kernel bakes a static lr
                 and c.batch_size % max(self.num_shards, 1) == 0
                 and local_batch(c.batch_size, self.num_shards) % 8 == 0)
+
+    def _lr_schedule(self):
+        """(end_frac, transition_steps) for the in-kernel lr schedule,
+        or None (constant lr) — the optax.linear_schedule twin."""
+        c = self.cfg
+        if c.lr_decay_env_steps <= 0:
+            return None
+        return (c.lr_end_frac,
+                max(c.lr_decay_env_steps * c.updates_per_step
+                    // max(c.rollout_steps, 1), 1))
 
     # --- optax-state plumbing (clip changes the nesting level) ----------
     def _adam_state(self, opt):
@@ -338,7 +352,8 @@ class NAF:
             kb, lr=c.lr, gamma=c.gamma, tau=c.tau,
             max_grad_norm=c.max_grad_norm, block_size=blk,
             interpret=jax.default_backend() != "tpu",
-            mm_precision=c.learner_precision)
+            mm_precision=c.learner_precision,
+            lr_schedule=self._lr_schedule())
         presample = replay_presample(self.replay, c.sample, c.batch_size,
                                      self.num_shards, self.dist_axis)
         gather = gather_batches(self.dist_axis)

@@ -319,18 +319,35 @@ def actor_phase_block(actor, critic, obs, inv_batch: float, hidden):
 
 # --- Adam + Polyak (componentwise; optax.adam semantics) --------------------
 
-def adam_step(p, m, v, g, t, lr: float):
+def adam_step(p, m, v, g, t, lr):
     """One optax.adam step: returns (p', m', v'). t is the f32 step
     index AFTER this update (optax counts from 1); the bias-correction
     powers are computed as exp(t * log(beta)) — Mosaic has no dynamic-
-    exponent pow, and the ulp difference is far below the moment noise."""
+    exponent pow, and the ulp difference is far below the moment noise.
+    lr may be a static float or a traced f32 scalar (the in-kernel lr
+    schedule, _sched_lr)."""
+    if isinstance(lr, (int, float)):
+        lr = np.float32(lr)
     m = np.float32(_ADAM_B1) * m + np.float32(1.0 - _ADAM_B1) * g
     v = np.float32(_ADAM_B2) * v + np.float32(1.0 - _ADAM_B2) * (g * g)
     bc1 = 1.0 - jnp.exp(t * np.float32(np.log(_ADAM_B1)))
     bc2 = 1.0 - jnp.exp(t * np.float32(np.log(_ADAM_B2)))
-    p = p - np.float32(lr) * (m / bc1) / (jnp.sqrt(v / bc2)
-                                          + np.float32(_ADAM_EPS))
+    p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2)
+                              + np.float32(_ADAM_EPS))
     return p, m, v
+
+
+def _sched_lr(lr: float, sched, tk):
+    """optax.linear_schedule twin for the in-kernel lr: sched =
+    (end_frac, transition_steps) static floats or None (constant). tk
+    is the f32 Adam step index AFTER the update, so the schedule count
+    (gradient steps taken BEFORE it — what optax.scale_by_schedule
+    sees) is tk - 1: lr(c) = lr + (lr*end_frac - lr) * min(c/T, 1)."""
+    if sched is None:
+        return np.float32(lr)
+    end_frac, steps = sched
+    frac = jnp.minimum((tk - 1.0) / np.float32(steps), 1.0)
+    return np.float32(lr) + frac * np.float32(lr * end_frac - lr)
 
 
 def polyak_flat(target_list, online_list, tau):
@@ -489,7 +506,8 @@ def unflatten_critic(flat, hidden, action_dim: int = 2):
 def update_phase_math(actor, critic, actor_t, critic_t, m_a, v_a, m_c,
                       v_c, batches, t0, hidden, *, actor_lr, critic_lr,
                       gamma, tau, num_blocks: int = 1,
-                      actor_grad_critic: str = "updated"):
+                      actor_grad_critic: str = "updated",
+                      lr_schedule=None):
     """K sequential DDPG updates on flat operand lists, batch blocks
     processed exactly as the kernel grid does (grads accumulated over
     blocks, Adam at the last). batches: (obs (K, Bm, F), action
@@ -515,7 +533,8 @@ def update_phase_math(actor, critic, actor_t, critic_t, m_a, v_a, m_c,
             cg = g if cg is None else [a + b for a, b in zip(cg, g)]
             closs = closs + ls
         pre_critic = critic
-        new = [adam_step(p, m, v, g, tk, critic_lr)
+        new = [adam_step(p, m, v, g, tk,
+                         _sched_lr(critic_lr, lr_schedule, tk))
                for p, m, v, g in zip(critic, m_c, v_c, cg)]
         critic, m_c, v_c = ([x[i] for x in new] for i in range(3))
         actor_critic = pre_critic if actor_grad_critic == "pre" else critic
@@ -526,7 +545,8 @@ def update_phase_math(actor, critic, actor_t, critic_t, m_a, v_a, m_c,
                                       hidden)
             ag = g if ag is None else [a + b for a, b in zip(ag, g)]
             aloss = aloss + ls
-        new = [adam_step(p, m, v, g, tk, actor_lr)
+        new = [adam_step(p, m, v, g, tk,
+                         _sched_lr(actor_lr, lr_schedule, tk))
                for p, m, v, g in zip(actor, m_a, v_a, ag)]
         actor, m_a, v_a = ([x[i] for x in new] for i in range(3))
         actor_t = polyak_flat(actor_t, actor, tau)
@@ -543,6 +563,7 @@ def update_phase_math(actor, critic, actor_t, critic_t, m_a, v_a, m_c,
 
 def _update_kernel(hidden, na: int, nc: int, nb: int, gamma: float,
                    tau: float, actor_lr: float, critic_lr: float,
+                   lr_schedule,
                    inv_bm: float, k_updates: int, merged: bool, *refs):
     n_par = 4 * na + 4 * nc
     obs_ref, nobs_ref, act_ref, rew_ref, done_ref = refs[:5]
@@ -589,6 +610,7 @@ def _update_kernel(hidden, na: int, nc: int, nb: int, gamma: float,
 
     def apply_adam(params, ms, vs, acc, lr):
         tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
+        lr = _sched_lr(lr, lr_schedule, tk)
         for p, m, v, g in zip(params, ms, vs, acc):
             pn, mn, vn = adam_step(p[:], m[:], v[:], g[:], tk, lr)
             p[:] = pn
@@ -665,7 +687,8 @@ def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
                       critic_lr: float, gamma: float, tau: float,
                       block_size: int = 512, interpret: bool = False,
                       mm_precision: str | None = None,
-                      actor_grad_critic: str = "updated"):
+                      actor_grad_critic: str = "updated",
+                      lr_schedule=None):
     """Builder: one pallas_call covering the whole K-update DDPG learner
     phase.
 
@@ -694,6 +717,7 @@ def ddpg_update_phase(hidden, obs_dim: int, k_updates: int,
     merged = actor_grad_critic == "pre"
     kernel = functools.partial(_update_kernel, hidden, na, nc, nb,
                                gamma, tau, actor_lr, critic_lr,
+                               lr_schedule,
                                1.0 / batch_size, k_updates, merged)
 
     def batch_spec(width):
@@ -1085,7 +1109,7 @@ def clip_by_global_norm_flat(grads, max_norm: float):
 
 def naf_update_phase_math(params, target, m, v, batches, t0, hidden, *,
                           lr, gamma, tau, max_grad_norm: float = 0.0,
-                          num_blocks: int = 1):
+                          num_blocks: int = 1, lr_schedule=None):
     """K sequential NAF updates on flat operand lists — the kernel's
     componentwise jnp twin. Returns (params, target, m, v, loss (K,))."""
     k_updates, bm = batches[0].shape[0], batches[0].shape[1]
@@ -1108,7 +1132,8 @@ def naf_update_phase_math(params, target, m, v, batches, t0, hidden, *,
             loss = loss + ls
         if max_grad_norm > 0.0:
             g_acc = clip_by_global_norm_flat(g_acc, max_grad_norm)
-        new = [adam_step(p, mm, vv, g, tk, lr)
+        lr_k = _sched_lr(lr, lr_schedule, tk)
+        new = [adam_step(p, mm, vv, g, tk, lr_k)
                for p, mm, vv, g in zip(params, m, v, g_acc)]
         params, m, v = ([x[i] for x in new] for i in range(3))
         target = polyak_flat(target, params, tau)
@@ -1118,7 +1143,8 @@ def naf_update_phase_math(params, target, m, v, batches, t0, hidden, *,
 
 def _naf_update_kernel(hidden, na: int, nb: int, gamma: float,
                        tau: float, lr: float, inv_bm: float,
-                       k_updates: int, max_grad_norm: float, *refs):
+                       k_updates: int, max_grad_norm: float,
+                       lr_schedule, *refs):
     n_par = 4 * na
     obs_ref, nobs_ref, act_ref, rew_ref, done_ref = refs[:5]
     par_in = refs[5:5 + n_par]
@@ -1160,11 +1186,12 @@ def _naf_update_kernel(hidden, na: int, nb: int, gamma: float,
     @pl.when(j == nb - 1)
     def _apply():
         tk = (t0_ref[0, 0] + kk + 1).astype(jnp.float32)
+        lr_k = _sched_lr(lr, lr_schedule, tk)
         g_list = [g[:] for g in acc]
         if max_grad_norm > 0.0:
             g_list = clip_by_global_norm_flat(g_list, max_grad_norm)
         for p, m, v, g in zip(p_s, m_s, v_s, g_list):
-            pn, mn, vn = adam_step(p[:], m[:], v[:], g, tk, lr)
+            pn, mn, vn = adam_step(p[:], m[:], v[:], g, tk, lr_k)
             p[:] = pn
             m[:] = mn
             v[:] = vn
@@ -1183,7 +1210,8 @@ def naf_update_phase(hidden, obs_dim: int, k_updates: int,
                      batch_size: int, *, lr: float, gamma: float,
                      tau: float, max_grad_norm: float = 0.0,
                      block_size: int = 512, interpret: bool = False,
-                     mm_precision: str | None = None):
+                     mm_precision: str | None = None,
+                     lr_schedule=None):
     """Builder: one pallas_call covering the whole K-update NAF learner
     phase. Returned fn(groups, batches, t0) -> (groups', loss (K,))
     with groups = (params, target, m, v) as flatten_naf operand lists."""
@@ -1198,7 +1226,7 @@ def naf_update_phase(hidden, obs_dim: int, k_updates: int,
 
     kernel = functools.partial(_naf_update_kernel, hidden, na, nb,
                                gamma, tau, lr, 1.0 / batch_size,
-                               k_updates, max_grad_norm)
+                               k_updates, max_grad_norm, lr_schedule)
 
     def batch_spec(width):
         return pl.BlockSpec((1, blk, width), lambda k, j: (k, j, 0),

@@ -684,3 +684,41 @@ def test_lrpg_train_step_kernel_learner_matches_xla_learner():
     assert np.isfinite(float(stats["reward_mean"]))
     rt = ag_k.state_to_tree(ag_k.state_from_tree(tree_k))
     _assert_tree_close(rt.params, tree_k.params, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("agent_kind", ["ddpg", "naf"])
+def test_kernel_lr_schedule_matches_optax(agent_kind):
+    """lr_decay_env_steps keeps the fused kernel (round 3): the kernel
+    computes the optax.linear_schedule twin from its Adam step count
+    (_sched_lr), so a kernel-mode train run with lr decay matches the
+    XLA optax run step for step — including PAST the transition horizon
+    (the schedule clamps)."""
+    from cartpoleplusplus_tpu.agents import NAF, NAFConfig
+
+    base = dict(hidden=(32, 32), batch_size=64, rollout_steps=4,
+                updates_per_step=2, warmup_env_steps=0, learner_block=32,
+                replay_capacity_per_env=16,
+                lr_decay_env_steps=16, lr_end_frac=0.25)
+    if agent_kind == "ddpg":
+        env = CartPole3D(continuous_params(), num_envs=64)
+        mk = lambda learner: DDPG(env, DDPGConfig(learner=learner, **base))
+        params_of = lambda st, ag: (ag.state_to_tree(st).actor
+                                    if hasattr(ag, "state_to_tree")
+                                    else st.actor)
+    else:
+        env = CartPole3D(continuous_params(), num_envs=64)
+        mk = lambda learner: NAF(env, NAFConfig(learner=learner, **base))
+        params_of = lambda st, ag: ag.state_to_tree(st).params
+    ag_x, ag_k = mk("xla"), mk("kernel")
+    assert not ag_x.kernel_mode and ag_k.kernel_mode
+    st_x, st_k = ag_x.init(0), ag_k.init(0)
+    ts_x = ag_x.make_train_step(fused=False)
+    ts_k = ag_k.make_train_step(fused=False)
+    # 6 steps x 2 updates = 12 gradient steps: crosses the 8-step
+    # transition horizon (16 env-steps * 2 upd / 4 rollout).
+    for _ in range(6):
+        st_x, m_x = ts_x(st_x)
+        st_k, m_k = ts_k(st_k)
+    tol = dict(rtol=3e-4, atol=2e-5)
+    _assert_tree_close(params_of(st_k, ag_k), params_of(st_x, ag_x),
+                       **tol)
