@@ -61,10 +61,19 @@ class NAFConfig:
     sample: str = "column"           # replay sampling: column (fast) | uniform
     # Learner implementation: "xla" | "kernel" | "auto" — see
     # agents/ddpg.py. The kernel covers the full NAF update including
-    # the quadratic-advantage backward and clip_by_global_norm
-    # (ops/learner_kernel.py NAF section). Kernel-mode states keep
-    # params/target/Adam moments in the kernel's flat operand layout.
-    learner: str = "auto"
+    # the quadratic-advantage backward, clip_by_global_norm and the lr
+    # schedule (ops/learner_kernel.py NAF section); kernel-mode states
+    # keep params/target/Adam moments in the kernel's flat layout.
+    # Default is "xla" (unlike DDPG/DQN/LRPG): NAF's quadratic-
+    # advantage learner is stability-marginal at the solving recipes,
+    # and the kernel's ~1e-5 Adam rounding differences (hardware-
+    # measured per-update parity) are enough to flip long runs into the
+    # collapse basin — round-3 measurement: XLA reaches eval
+    # 199.2/199.9/198.7/178.7 across seeds & decay horizons, the kernel
+    # path 3.0/162/200/12/199.8/56 on the SAME configs (bitwise-
+    # reproducible). Set "kernel" explicitly for throughput-bound runs
+    # (+21-2.6x e2e, BASELINE.md) where eval quality is secondary.
+    learner: str = "xla"
     learner_block: int = 512         # kernel batch-block (VMEM budget)
     learner_precision: str | None = None  # in-kernel matmul precision
     # Linear lr decay to lr * lr_end_frac over a PER-ENV step horizon

@@ -132,11 +132,18 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state) -> bool:
-        """Save if the interval policy says so; returns whether saved."""
+    def save(self, step: int, state, force: bool = False) -> bool:
+        """Save if the interval policy says so; returns whether saved.
+
+        force=True bypasses orbax's own step-modulo re-check — REQUIRED
+        when the caller's save cadence is windowed (train.py's chunked
+        dispatch lands on step indices like 511, 1007 that satisfy the
+        caller's interval window but not `step % interval == 0`; orbax
+        silently skips those, which left long chunked-dispatch runs
+        with a single early checkpoint — round-3 hardware bug)."""
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(
-                _to_pytree(state, self._exclude)))
+                _to_pytree(state, self._exclude)), force=force)
         return bool(saved)
 
     def should_save(self, step: int) -> bool:

@@ -358,7 +358,10 @@ def main(argv=None) -> int:
         i += k
         if mgr is not None and any(mgr.should_save(j)
                                    for j in range(i - k, i)):
-            mgr.save(i - 1, to_tree(state))
+            # force: the window check above IS the cadence decision;
+            # orbax would re-check `(i-1) % interval == 0` and silently
+            # skip chunk-boundary steps (see CheckpointManager.save).
+            mgr.save(i - 1, to_tree(state), force=True)
         last_of = range(i - k, i)
         if any((j + 1) % run.log_interval == 0 for j in last_of) \
                 or i == n_calls:

@@ -393,3 +393,30 @@ def test_preset_fast_unknown_agent_errors(capsys):
     rc = main(["--agent", "dqn", "--preset", "fast",
                "--total-env-steps", "4"])
     assert rc == 2
+
+
+def test_ckpt_cadence_under_chunked_dispatch(tmp_path):
+    """Round-3 hardware bug: with --steps-per-dispatch > 1 saves land on
+    chunk-boundary step indices (511, 1007, ...) that satisfy the
+    interval window but not orbax's `step % interval == 0` re-check —
+    orbax silently skipped every one, leaving long runs with a single
+    early checkpoint. train.py now forces the save; the LATEST
+    checkpoint must be the final training state."""
+    d = tmp_path / "ck"
+    rc = main(["--agent", "dqn", "--num-envs", "16",
+               "--total-env-steps", "256", "--steps-per-dispatch", "16",
+               "--log-interval", "1000", "--ckpt-dir", str(d),
+               "--ckpt-interval", "5", "--no-ckpt-full",
+               "--dqn.hidden", "16", "--dqn.rollout-steps", "2",
+               "--dqn.updates-per-step", "1", "--dqn.batch-size", "16",
+               "--dqn.replay-capacity-per-env", "8",
+               "--dqn.warmup-env-steps", "0"])
+    assert rc == 0
+    import glob
+    import os.path as osp
+    steps = sorted(int(osp.basename(x)) for x in glob.glob(str(d) + "/*")
+                   if osp.basename(x).isdigit())
+    # 128 train calls; saves trigger on every 16-call chunk whose window
+    # crosses a multiple of 5; retention keeps the last 3 — the final
+    # state (call 127) MUST be among them.
+    assert steps and max(steps) == 127, steps
