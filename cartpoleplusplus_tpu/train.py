@@ -376,6 +376,13 @@ def main(argv=None) -> int:
 
     if run.profile_dir:
         jax.profiler.stop_trace()
+    if mgr is not None and mgr.latest_step() != n_calls - 1:
+        # The interval window rarely lands on the final call, so without
+        # this a restored run sees a STALE policy (round-3 hardware bug:
+        # an 80k-step NAF run's latest checkpoint was call 9535 of
+        # 10000 — eval 63 restored vs 199 in-run). The final training
+        # state must always be on disk.
+        mgr.save(n_calls - 1, to_tree(state), force=True)
     if run.final_eval:
         # Honest post-training report: deterministic-policy episode stats
         # (exact completed-episode accounting, agents/common.py) as one

@@ -418,5 +418,21 @@ def test_ckpt_cadence_under_chunked_dispatch(tmp_path):
                    if osp.basename(x).isdigit())
     # 128 train calls; saves trigger on every 16-call chunk whose window
     # crosses a multiple of 5; retention keeps the last 3 — the final
-    # state (call 127) MUST be among them.
+    # state (call 127) MUST be among them (the end-of-training save
+    # guarantees it even when no window lands on the final call).
     assert steps and max(steps) == 127, steps
+    # End-of-training save: an interval that never triggers mid-run
+    # still leaves the FINAL state on disk.
+    d2 = str(d) + "2"
+    rc = main(["--agent", "dqn", "--num-envs", "16",
+               "--total-env-steps", "64", "--steps-per-dispatch", "16",
+               "--log-interval", "1000", "--ckpt-dir", d2,
+               "--ckpt-interval", "10000", "--no-ckpt-full",
+               "--dqn.hidden", "16", "--dqn.rollout-steps", "2",
+               "--dqn.updates-per-step", "1", "--dqn.batch-size", "16",
+               "--dqn.replay-capacity-per-env", "8",
+               "--dqn.warmup-env-steps", "0"])
+    assert rc == 0
+    steps2 = sorted(int(osp.basename(x)) for x in glob.glob(d2 + "/*")
+                    if osp.basename(x).isdigit())
+    assert steps2 and max(steps2) == 31, steps2
