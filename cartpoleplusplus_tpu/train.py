@@ -205,9 +205,21 @@ def main(argv=None) -> int:
                                 lambda s: s))
     if run.ckpt_dir:
         from .ckpt import CheckpointManager
+        exclude = () if run.ckpt_full else ("replay",)
+        if run.eval_only:
+            # Deterministic eval needs only network weights; optimizer
+            # state is both unnecessary and config-dependent (an lr
+            # schedule changes the optax tree structure, so an eval
+            # process built without the training run's lr flags could
+            # not even restore it). Skip every *opt field + rng.
+            st_fields = type(state)._fields
+            exclude = tuple(set(exclude)
+                            | {f for f in st_fields
+                               if f.endswith("opt") or f == "opt"}
+                            | ({"rng"} if "rng" in st_fields else set()))
         mgr = CheckpointManager(
             run.ckpt_dir, save_interval_steps=run.ckpt_interval,
-            exclude=() if run.ckpt_full else ("replay",))
+            exclude=exclude)
         latest = mgr.latest_step()
         if latest is not None:
             state = from_tree(mgr.restore(to_tree(state), latest))

@@ -436,3 +436,19 @@ def test_ckpt_cadence_under_chunked_dispatch(tmp_path):
     steps2 = sorted(int(osp.basename(x)) for x in glob.glob(d2 + "/*")
                     if osp.basename(x).isdigit())
     assert steps2 and max(steps2) == 31, steps2
+
+
+def test_eval_only_restores_across_lr_config(tmp_path):
+    """--eval-only must restore checkpoints written under a DIFFERENT lr
+    configuration: an lr schedule changes the optax tree structure, and
+    eval needs only weights — the restore excludes *opt fields + rng."""
+    d = tmp_path / "ck"
+    base = ["--agent", "naf", "--num-envs", "16",
+            "--total-env-steps", "16", "--log-interval", "100",
+            "--ckpt-dir", str(d),
+            "--naf.hidden", "16", "16", "--naf.rollout-steps", "2",
+            "--naf.updates-per-step", "1", "--naf.batch-size", "16",
+            "--naf.replay-capacity-per-env", "8",
+            "--naf.warmup-env-steps", "0"]
+    assert main(base + ["--naf.lr-decay-env-steps", "8"]) == 0
+    assert main(base + ["--eval-only", "--eval-steps", "8"]) == 0
