@@ -526,8 +526,10 @@ def test_train_scan_capture_matches_loop_chunks():
 
 def test_ddpg_lr_decay_schedule():
     """lr_decay_env_steps wires a linear optax schedule into both
-    optimizers (gradient-step keyed), trains finitely, and gates the
-    fused update kernel off (it bakes static lrs)."""
+    optimizers (gradient-step keyed) and trains finitely. The fused
+    update kernel STAYS available (it computes the schedule in-kernel —
+    tests/test_learner_kernel.py::test_kernel_lr_schedule_matches_optax
+    pins the parity)."""
     import math
 
     from cartpoleplusplus_tpu.physics.params import continuous_params
@@ -538,7 +540,7 @@ def test_ddpg_lr_decay_schedule():
                warmup_env_steps=0)
     ag_d = DDPG(env, DDPGConfig(lr_decay_env_steps=8, **cfg))
     ag_c = DDPG(env, DDPGConfig(**cfg))
-    assert not ag_d.kernel_learner_ok()
+    assert ag_d.kernel_learner_ok()  # schedule supported in-kernel
     st = ag_d.init(0)
     step = jax.jit(ag_d.train_step)
     for _ in range(6):
