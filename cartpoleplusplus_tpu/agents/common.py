@@ -269,7 +269,8 @@ def episode_stats_from_hist(hist):
 
 
 def evaluate_policy(env, policy_fn, key, num_steps: int,
-                    needs_key: bool = False):
+                    needs_key: bool = False, index_offset=0,
+                    axis_name: str | None = None):
     """Policy evaluation over the batched env: `num_steps` steps with
     masked auto-reset, reduced to EXACT per-episode statistics on device.
 
@@ -282,9 +283,18 @@ def evaluate_policy(env, policy_fn, key, num_steps: int,
     earlier steps/episodes ratio here over-counted truncated tails).
     Nothing but scalars and the (max_episode_steps+1,) histogram is
     materialized — no O(T*B) trajectory stacking.
+
+    Sharded evaluation (dist/shardmap.py::make_shardmap_evaluate): when
+    `axis_name` is set the caller runs this inside shard_map over the
+    PER-SHARD env; `index_offset` gives each shard's envs their GLOBAL
+    identities (same episodes as the unsharded run), and the completed-
+    episode histogram / reward / done totals are psum'd so every shard
+    returns the GLOBAL statistics. Integer stats match the unsharded
+    eval exactly (the histogram sum is exact); reward_mean differs only
+    by fp summation order.
     """
     k_env, k_pol = jax.random.split(as_key(key))
-    state, obs0 = env.reset(k_env)
+    state, obs0 = env.reset(k_env, index_offset=index_offset)
     b = env.num_envs
 
     def body(carry, _):
@@ -296,8 +306,16 @@ def evaluate_policy(env, policy_fn, key, num_steps: int,
 
     _, (rew_sums, done) = jax.lax.scan(
         body, (state, obs0, k_pol), None, length=num_steps)
-    stats = episode_stats_from_hist(
-        episode_length_hist(done, env.params.max_episode_steps))
-    stats["reward_mean"] = jnp.sum(rew_sums) / jnp.float32(num_steps * b)
-    stats["done_frac"] = jnp.mean(done.astype(jnp.float32))
+    hist = episode_length_hist(done, env.params.max_episode_steps)
+    rew_total = jnp.sum(rew_sums)
+    done_total = jnp.sum(done.astype(jnp.float32))
+    n_envs = jnp.float32(b)
+    if axis_name is not None:
+        hist = jax.lax.psum(hist, axis_name)
+        rew_total = jax.lax.psum(rew_total, axis_name)
+        done_total = jax.lax.psum(done_total, axis_name)
+        n_envs = jax.lax.psum(n_envs, axis_name)
+    stats = episode_stats_from_hist(hist)
+    stats["reward_mean"] = rew_total / (jnp.float32(num_steps) * n_envs)
+    stats["done_frac"] = done_total / (jnp.float32(num_steps) * n_envs)
     return stats

@@ -28,8 +28,8 @@ from .mesh import (
     batch_sharding,
     shard_batch_tree,
 )
-from .shardmap import (make_shardmap_train_scan, make_shardmap_train_step,
-                       state_partition_specs)
+from .shardmap import (make_shardmap_evaluate, make_shardmap_train_scan,
+                       make_shardmap_train_step, state_partition_specs)
 from .train import (make_distributed_train_scan, make_distributed_train_step,
                     shard_agent_state, scaling_report)
 
@@ -42,6 +42,7 @@ __all__ = [
     "shard_batch_tree",
     "make_distributed_train_scan",
     "make_distributed_train_step",
+    "make_shardmap_evaluate",
     "make_shardmap_train_scan",
     "make_shardmap_train_step",
     "state_partition_specs",

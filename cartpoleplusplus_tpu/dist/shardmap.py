@@ -90,6 +90,43 @@ def _shard_setup(local_agent, mesh, state_template):
     return specs, ({"fused": True} if fused else {})
 
 
+def make_shardmap_evaluate(local_agent, mesh, state_template,
+                           num_steps: int, seed: int = 0):
+    """Sharded deterministic-policy evaluation: each shard rolls out ITS
+    envs under the greedy policy and the completed-episode histogram is
+    psum'd, so eval scales with the mesh instead of running on the
+    global SPMD agent (the reference's 'watch the trained agent' loop
+    had one env; here eval is the same batched scan as training).
+
+    Two properties make this the exact twin of the unsharded
+    agent.evaluate:
+      * env identity — each shard resets its slice with
+        index_offset = axis_index * local_num_envs, so per-env pushes
+        key on the GLOBAL env index (the layout-independence invariant,
+        tests/test_dist.py) and the episode set matches the global run;
+      * layout — the policy comes from the LOCAL agent, whose state
+        layout (canonical tree or kernel-flat) matches the training
+        state, so kernel-mode runs evaluate without a relayout.
+    Integer episode stats match the unsharded eval exactly; reward_mean
+    to fp summation order."""
+    specs, _ = _shard_setup(local_agent, mesh, state_template)
+    local_b = local_agent.env.num_envs
+
+    def ev(state):
+        from ..agents.common import evaluate_policy
+        offset = jax.lax.axis_index(DATA_AXIS) * local_b
+        return evaluate_policy(
+            local_agent.env, local_agent.greedy_policy(state), seed,
+            num_steps, index_offset=offset, axis_name=DATA_AXIS)
+
+    kwargs = dict(mesh=mesh, in_specs=(specs,), out_specs=P())
+    try:
+        fn = shard_map(ev, check_vma=False, **kwargs)
+    except TypeError:  # pre-0.8 fallback uses check_rep
+        fn = shard_map(ev, check_rep=False, **kwargs)
+    return jax.jit(fn)
+
+
 def make_shardmap_train_step(local_agent, mesh, state_template,
                              capture: bool = False):
     """Jitted shard_map train step.

@@ -78,10 +78,17 @@ def to_seed(key) -> jnp.uint32:
     return jax.lax.reduce(flat, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
 
 
-def derive_env_seeds(key, num_envs: int) -> jax.Array:
+def derive_env_seeds(key, num_envs: int, index_offset=0) -> jax.Array:
     """Per-env seeds from (global seed, global env index) — independent of
-    batch slot or sharding layout (SURVEY.md §7 hard part 5)."""
-    return hash_words(to_seed(key), jnp.arange(num_envs, dtype=jnp.uint32))
+    batch slot or sharding layout (SURVEY.md §7 hard part 5).
+
+    index_offset shifts the env indices: a shard_map body resetting its
+    LOCAL slice passes `axis_index * local_num_envs` so env i of shard s
+    gets the seed of GLOBAL env s*local+i — the sharded reset is then
+    bitwise-identical to slicing a global reset (tests/test_dist.py)."""
+    idx = jnp.arange(num_envs, dtype=jnp.uint32)
+    idx = idx + jnp.asarray(index_offset, jnp.uint32)
+    return hash_words(to_seed(key), idx)
 
 
 def reset_randomness(p: CartPoleParams, env_seed, episode):
@@ -205,11 +212,13 @@ class CartPole3D:
         return render_all_cameras(self.params, phys, self.render_config)
 
     # --- episode API ---------------------------------------------------------
-    def reset(self, key) -> tuple[EnvState, jax.Array]:
+    def reset(self, key, index_offset=0) -> tuple[EnvState, jax.Array]:
         """Fresh state for all envs. Per-env seeds are derived from the
-        global env index so results are sharding-layout independent."""
+        global env index so results are sharding-layout independent.
+        index_offset: see derive_env_seeds — lets a per-shard env reset
+        its slice with GLOBAL env identities inside shard_map."""
         b = self.num_envs
-        env_seed = derive_env_seeds(key, b)
+        env_seed = derive_env_seeds(key, b, index_offset)
         episode = jnp.zeros((b,), jnp.int32)
         phys = _reset_phys(self.params, env_seed, episode)
         state = EnvState(phys=phys, steps=jnp.zeros((b,), jnp.int32),

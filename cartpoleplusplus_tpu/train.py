@@ -229,12 +229,26 @@ def main(argv=None) -> int:
             start_call = latest + 1
             print(f"resumed from step {latest}", file=sys.stderr)
 
+    def run_eval(st, seed):
+        """Deterministic-policy episode stats. Under --learner shardmap
+        the eval itself is sharded (dist/shardmap.py::
+        make_shardmap_evaluate): each shard rolls out its envs with
+        GLOBAL env identities and the episode histogram is psum'd —
+        same statistics as the global eval, and the policy reads the
+        LOCAL agent's state layout (kernel-mode states never pass
+        through the global agent)."""
+        if use_shardmap:
+            from .dist import make_shardmap_evaluate
+            return make_shardmap_evaluate(local_agent, mesh, st,
+                                          run.eval_steps, seed)(st)
+        return jax.jit(agent.evaluate, static_argnums=(1, 2))(
+            st, run.eval_steps, seed)
+
     if run.eval_only:
         # Deterministic-policy evaluation of the restored (or fresh)
         # weights — the reference's "watch the trained agent" workflow,
         # batched and headless.
-        stats = jax.jit(agent.evaluate, static_argnums=(1, 2))(
-            state, run.eval_steps, run.seed)
+        stats = run_eval(state, run.seed)
         print(json.dumps({k: float(np.asarray(v))
                           for k, v in stats.items()}))
         if run.eval_render:
@@ -248,7 +262,11 @@ def main(argv=None) -> int:
 
             from .env.pixels import RenderConfig, render_all_cameras
             from .viz import save_frame
-            policy = agent.greedy_policy(state)
+            # layout_owner: under shardmap the state is in the LOCAL
+            # agent's layout (possibly kernel-flat); its greedy_policy
+            # reads params (replicated, full arrays) so the closure
+            # works on the global env's batch too.
+            policy = layout_owner.greedy_policy(state)
             est, obs = jax.jit(env.reset)(run.seed)
             step_fn = jax.jit(env.step)
             base = (env.render_config if run.obs_mode == "pixels"
@@ -399,8 +417,7 @@ def main(argv=None) -> int:
         # Honest post-training report: deterministic-policy episode stats
         # (exact completed-episode accounting, agents/common.py) as one
         # last JSON line with eval_-prefixed keys.
-        stats = jax.jit(agent.evaluate, static_argnums=(1, 2))(
-            state, run.eval_steps, run.seed + 1)
+        stats = run_eval(state, run.seed + 1)
         print(json.dumps({"eval_" + k: float(np.asarray(v))
                           for k, v in stats.items()}), flush=True)
     if mgr is not None:

@@ -399,3 +399,50 @@ def test_shardmap_lrpg_matches_single_device():
         shards = [np.asarray(leaf.addressable_data(i)) for i in range(n)]
         for sh in shards[1:]:
             np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_shardmap_evaluate_matches_global():
+    """Sharded eval (dist/shardmap.py::make_shardmap_evaluate) is the
+    exact twin of the global agent.evaluate: each shard resets its env
+    slice with GLOBAL env identities (reset index_offset =
+    axis_index * local_b) and the completed-episode histogram is psum'd.
+    Integer episode statistics must match the unsharded eval EXACTLY
+    (any off-by-one in env identity or a flipped done would change the
+    histogram); reward_mean to fp summation order. Also exercises the
+    kernel-flat layout: the sharded eval reads the LOCAL agent's state
+    layout directly, which the global-agent eval path could not."""
+    from cartpoleplusplus_tpu.dist import (DATA_AXIS,
+                                           make_shardmap_evaluate)
+
+    n = 8
+    mesh = make_mesh(jax.devices()[:n])
+    params = continuous_params()
+    cfg = DDPGConfig(hidden=(16,), rollout_steps=2, updates_per_step=1,
+                     batch_size=64, replay_capacity_per_env=16,
+                     warmup_env_steps=0)
+    env_g = CartPole3D(params, num_envs=8 * n)
+    agent_g = DDPG(env_g, cfg)
+    st_g = agent_g.init(0)
+    # A couple of train steps so the policy is not the init weights.
+    step_g = agent_g.make_train_step()
+    for _ in range(2):
+        st_g, _ = step_g(st_g)
+    ref = {k: float(v) for k, v in jax.jit(
+        agent_g.evaluate, static_argnums=(1, 2))(st_g, 30, 0).items()}
+
+    agent_l = DDPG(CartPole3D(params, num_envs=8), cfg,
+                   dist_axis=DATA_AXIS, num_shards=n)
+    st_l = jax.jit(lambda s: agent_l.state_from_tree(
+        agent_g.state_to_tree(s)))(st_g)
+    st_l = shard_agent_state(st_l, mesh)
+    got = {k: float(v) for k, v in make_shardmap_evaluate(
+        agent_l, mesh, st_l, 30, 0)(st_l).items()}
+
+    assert set(got) == set(ref)
+    for k in ("episodes", "mean_episode_length", "median_episode_length",
+              "max_episode_length"):
+        assert got[k] == ref[k], (k, got[k], ref[k])
+    np.testing.assert_allclose(got["reward_mean"], ref["reward_mean"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(got["done_frac"], ref["done_frac"],
+                               rtol=1e-6)
