@@ -6,6 +6,8 @@ Reference counterpart: none — the reference is single-process (SURVEY.md
 scaled down to virtual devices per SURVEY.md §4.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -401,23 +403,25 @@ def test_shardmap_lrpg_matches_single_device():
             np.testing.assert_array_equal(shards[0], sh)
 
 
-def test_shardmap_evaluate_matches_global():
+@pytest.mark.parametrize("learner", ["xla", "kernel"])
+def test_shardmap_evaluate_matches_global(learner):
     """Sharded eval (dist/shardmap.py::make_shardmap_evaluate) is the
     exact twin of the global agent.evaluate: each shard resets its env
     slice with GLOBAL env identities (reset index_offset =
     axis_index * local_b) and the completed-episode histogram is psum'd.
     Integer episode statistics must match the unsharded eval EXACTLY
     (any off-by-one in env identity or a flipped done would change the
-    histogram); reward_mean to fp summation order. Also exercises the
-    kernel-flat layout: the sharded eval reads the LOCAL agent's state
-    layout directly, which the global-agent eval path could not."""
+    histogram); reward_mean to fp summation order. The kernel variant
+    exercises the kernel-FLAT state layout: the sharded eval reads the
+    LOCAL agent's state layout directly (its greedy_policy), which the
+    global-agent eval path could not."""
     from cartpoleplusplus_tpu.dist import (DATA_AXIS,
                                            make_shardmap_evaluate)
 
     n = 8
     mesh = make_mesh(jax.devices()[:n])
     params = continuous_params()
-    cfg = DDPGConfig(hidden=(16,), rollout_steps=2, updates_per_step=1,
+    cfg = DDPGConfig(hidden=(16, 16), rollout_steps=2, updates_per_step=1,
                      batch_size=64, replay_capacity_per_env=16,
                      warmup_env_steps=0)
     env_g = CartPole3D(params, num_envs=8 * n)
@@ -430,8 +434,10 @@ def test_shardmap_evaluate_matches_global():
     ref = {k: float(v) for k, v in jax.jit(
         agent_g.evaluate, static_argnums=(1, 2))(st_g, 30, 0).items()}
 
-    agent_l = DDPG(CartPole3D(params, num_envs=8), cfg,
+    cfg_l = dataclasses.replace(cfg, learner=learner)
+    agent_l = DDPG(CartPole3D(params, num_envs=8), cfg_l,
                    dist_axis=DATA_AXIS, num_shards=n)
+    assert agent_l.kernel_mode == (learner == "kernel")
     st_l = jax.jit(lambda s: agent_l.state_from_tree(
         agent_g.state_to_tree(s)))(st_g)
     st_l = shard_agent_state(st_l, mesh)
