@@ -175,8 +175,9 @@ def test_fused_q_rollout_matches_env_scan():
 def test_env_blocked_q_grid_matches_unblocked():
     """Stateless-kernel twin of the DDPG blocking test: the DQN rollout
     at 2048 envs / block_envs=1024 matches the single-block run (float
-    leaves to one-ulp matmul-reassociation tolerance, int/bool leaves —
-    including the ACTION stream — exact)."""
+    leaves to rtol=1e-4 — interpret-mode XLA-CPU dot variance only; the
+    blocking contracts over features, not batch, so hardware runs are
+    bitwise — int/bool leaves, including the ACTION stream, exact)."""
     from cartpoleplusplus_tpu.ops.policy_rollout import q_policy_rollout
 
     agent = _dqn_agent(num_envs=2048)
