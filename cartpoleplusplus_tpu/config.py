@@ -51,6 +51,9 @@ class RunConfig:
     render_grayscale: bool = False   # 1 channel per camera instead of 3
     render_dtype: str = "float32"    # ray-cast compute dtype (bfloat16 = 2x)
     render_obs_uint8: bool = False   # quantize pixel obs to uint8 (4x HBM)
+    # stack [latest frame, consecutive-frame diffs] instead of R raw
+    # frames (same shape; explicit motion signal — RenderConfig.frame_diff)
+    render_frame_diff: bool = False
     total_env_steps: int = 100_000   # per-env steps to train for
     seed: int = 0
     log_interval: int = 10           # train_steps between metric prints

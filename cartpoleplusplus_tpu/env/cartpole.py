@@ -235,6 +235,20 @@ class CartPole3D:
                 jnp.uint8)
         return frame
 
+    def _stack_diff_obs(self, frames) -> jax.Array:
+        """Frame-difference pixel observation (RenderConfig.frame_diff):
+        stack [latest frame, 0.5*(f_r - f_{r-1}) + 0.5 per consecutive
+        pair] on channels — same shape as the raw R-frame stack, motion
+        made explicit. `frames` are FLOAT [0, 1] renders (diffs must be
+        computed before uint8 quantization); quantization, when
+        configured, applies uniformly to every plane afterwards."""
+        planes = [frames[-1]] + [0.5 * (b - a) + 0.5
+                                 for a, b in zip(frames[:-1], frames[1:])]
+        if self.render_config.obs_uint8:
+            planes = [jnp.clip(x * 255.0 + 0.5, 0.0, 255.0).astype(
+                jnp.uint8) for x in planes]
+        return stack_obs(planes)
+
     def _reset_obs_pixels(self) -> jax.Array:
         """(1, H, W, C*R) — the observation every freshly-reset env sees.
 
@@ -247,6 +261,9 @@ class CartPole3D:
         renders in every pixel-mode env-step."""
         phys1 = rest_state(self.params, batch_shape=(1,))
         frame = render_all_cameras(self.params, phys1, self.render_config)
+        if self.render_config.frame_diff:  # diff planes: constant 0.5
+            return self._stack_diff_obs(
+                [frame] * self.params.action_repeats)
         if self.render_config.obs_uint8:
             frame = jnp.clip(frame * 255.0 + 0.5, 0.0, 255.0).astype(
                 jnp.uint8)
@@ -258,6 +275,9 @@ class CartPole3D:
         # Reference reset assembles the first obs by repeating the initial
         # pose (or frame) across the repeat window.
         if self.obs_mode == "pixels":
+            if self.render_config.frame_diff:
+                return self._stack_diff_obs(
+                    [self.render(phys)] * self.params.action_repeats)
             frame = self._obs_frame(phys)
         else:
             frame = pose_frame(self.params, phys)
@@ -281,7 +301,11 @@ class CartPole3D:
             if self.obs_mode == "pose_stack":
                 frames.append(pose_frame(p, phys))
             elif self.obs_mode == "pixels":
-                frames.append(self._obs_frame(phys))
+                # frame_diff needs FLOAT frames (diffs precede uint8
+                # quantization — _stack_diff_obs quantizes afterwards).
+                frames.append(self.render(phys)
+                              if self.render_config.frame_diff
+                              else self._obs_frame(phys))
 
         steps = state.steps + 1
         tilted, oob, too_long = _termination(p, phys, steps)
@@ -291,6 +315,8 @@ class CartPole3D:
 
         if self.obs_mode == "state":
             terminal_obs = state_obs(p, phys)
+        elif self.obs_mode == "pixels" and self.render_config.frame_diff:
+            terminal_obs = self._stack_diff_obs(frames)
         else:
             terminal_obs = stack_obs(frames)
 

@@ -68,6 +68,15 @@ class RenderConfig:
     # co-bottleneck of the pixel env next to the raycast itself).
     # PixelEncoder normalizes uint8 inputs back to [0, 1] on entry.
     obs_uint8: bool = False
+    # Frame-difference observations: instead of the R raw frames of the
+    # action-repeat window, stack [latest frame, 0.5*(f_r - f_{r-1})+0.5
+    # for each consecutive pair] — same channel count, but the motion
+    # signal the conv net otherwise has to infer from frame pairs is
+    # handed to it explicitly (the pose-stack agents get velocities
+    # implicitly the same way; the reference stacks repeat-window frames
+    # "in lieu of velocities"). Diff planes are centered at 0.5 so the
+    # uint8 and float pipelines stay identical up to quantization.
+    frame_diff: bool = False
 
     @property
     def channels_per_camera(self) -> int:

@@ -102,7 +102,8 @@ def build(run: RunConfig, args: argparse.Namespace, provided=None):
                                      height=run.render_size,
                                      grayscale=run.render_grayscale,
                                      dtype=run.render_dtype,
-                                     obs_uint8=run.render_obs_uint8)
+                                     obs_uint8=run.render_obs_uint8,
+                                     frame_diff=run.render_frame_diff)
     env = CartPole3D(params, num_envs=run.num_envs, obs_mode=run.obs_mode,
                      render_config=render_config)
     if run.agent == "random":

@@ -125,6 +125,46 @@ def test_env_pixels_uint8_obs_mode():
         np.asarray(o8).astype(np.float32) / 255.0, atol=1e-7)
 
 
+def test_frame_diff_obs_mode():
+    """RenderConfig.frame_diff: same obs shape as the raw R-frame stack;
+    the first plane group per window is the LATEST raw frame, the rest
+    are consecutive diffs encoded 0.5*(f_r - f_{r-1}) + 0.5 (computed
+    before any quantization); reset-obs diff planes are the exact 0.5
+    constant (128 in uint8 mode)."""
+    cfgd = RenderConfig(width=32, height=32, frame_diff=True)
+    envd = CartPole3D(P, num_envs=3, obs_mode="pixels", render_config=cfgd)
+    envr = CartPole3D(P, num_envs=3, obs_mode="pixels", render_config=CFG)
+    assert envd.obs_shape == envr.obs_shape
+    c = cfgd.channels_per_camera * len(cfgd.cameras)  # per-frame channels
+    sd, od = jax.jit(envd.reset)(0)
+    sr, orr = jax.jit(envr.reset)(0)
+    od, orr = np.asarray(od), np.asarray(orr)
+    np.testing.assert_allclose(od[..., :c], orr[..., :c],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(od[..., c:], np.float32(0.5))
+    # Same trajectory (randomness keys on env_seed, not obs mode): the
+    # diff obs after one step must be the encoded diffs of the raw
+    # stacked frames from the plain env.
+    action = jnp.zeros((3,), jnp.int32)
+    sd, od, *_ = jax.jit(envd.step)(sd, action)
+    sr, orr, *_ = jax.jit(envr.step)(sr, action)
+    od, orr = np.asarray(od), np.asarray(orr)
+    raw = [orr[..., i * c:(i + 1) * c] for i in range(P.action_repeats)]
+    np.testing.assert_allclose(od[..., :c], raw[-1], rtol=1e-6, atol=1e-6)
+    for i in range(1, P.action_repeats):
+        np.testing.assert_allclose(od[..., i * c:(i + 1) * c],
+                                   0.5 * (raw[i] - raw[i - 1]) + 0.5,
+                                   rtol=1e-6, atol=1e-6)
+    # uint8 mode: reset diff planes quantize to exactly 128.
+    cfg8 = RenderConfig(width=32, height=32, frame_diff=True,
+                        obs_uint8=True, grayscale=True)
+    env8 = CartPole3D(P, num_envs=2, obs_mode="pixels", render_config=cfg8)
+    _, o8 = jax.jit(env8.reset)(0)
+    c8 = cfg8.channels_per_camera * len(cfg8.cameras)
+    assert o8.dtype == jnp.uint8
+    assert np.all(np.asarray(o8)[..., c8:] == 128)
+
+
 def test_auto_reset_obs_is_constant_reset_frame():
     """The fresh-episode pose is deterministic (reset randomness enters
     through velocities only — env/compute.py::reset_components), so a
