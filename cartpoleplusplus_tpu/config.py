@@ -54,6 +54,9 @@ class RunConfig:
     # stack [latest frame, consecutive-frame diffs] instead of R raw
     # frames (same shape; explicit motion signal — RenderConfig.frame_diff)
     render_frame_diff: bool = False
+    # diff-plane contrast gain (RenderConfig.frame_diff_gain; 4-8 keeps
+    # the small inter-repeat amplitudes above the uint8 rounding floor)
+    render_frame_diff_gain: float = 1.0
     total_env_steps: int = 100_000   # per-env steps to train for
     seed: int = 0
     log_interval: int = 10           # train_steps between metric prints

@@ -242,7 +242,8 @@ class CartPole3D:
         made explicit. `frames` are FLOAT [0, 1] renders (diffs must be
         computed before uint8 quantization); quantization, when
         configured, applies uniformly to every plane afterwards."""
-        planes = [frames[-1]] + [0.5 * (b - a) + 0.5
+        g = 0.5 * self.render_config.frame_diff_gain
+        planes = [frames[-1]] + [jnp.clip(g * (b - a) + 0.5, 0.0, 1.0)
                                  for a, b in zip(frames[:-1], frames[1:])]
         if self.render_config.obs_uint8:
             planes = [jnp.clip(x * 255.0 + 0.5, 0.0, 255.0).astype(

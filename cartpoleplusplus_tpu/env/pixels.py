@@ -77,6 +77,13 @@ class RenderConfig:
     # "in lieu of velocities"). Diff planes are centered at 0.5 so the
     # uint8 and float pipelines stay identical up to quantization.
     frame_diff: bool = False
+    # Contrast gain on the diff planes (encode = clip(0.5 + 0.5*gain*d)):
+    # inter-repeat motion at 48x48 is 1-2 px, so raw diffs occupy a
+    # handful of uint8 levels around 128 — the measured cause of the
+    # gain-1 A/B regression (BASELINE.md round-3). gain 4-8 spends the
+    # 8-bit range on the amplitudes that actually occur (clipping the
+    # rare saturated pixel) instead of the +/-1 worst case.
+    frame_diff_gain: float = 1.0
 
     @property
     def channels_per_camera(self) -> int:

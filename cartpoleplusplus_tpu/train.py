@@ -103,7 +103,9 @@ def build(run: RunConfig, args: argparse.Namespace, provided=None):
                                      grayscale=run.render_grayscale,
                                      dtype=run.render_dtype,
                                      obs_uint8=run.render_obs_uint8,
-                                     frame_diff=run.render_frame_diff)
+                                     frame_diff=run.render_frame_diff,
+                                     frame_diff_gain=(
+                                         run.render_frame_diff_gain))
     env = CartPole3D(params, num_envs=run.num_envs, obs_mode=run.obs_mode,
                      render_config=render_config)
     if run.agent == "random":

@@ -163,6 +163,21 @@ def test_frame_diff_obs_mode():
     c8 = cfg8.channels_per_camera * len(cfg8.cameras)
     assert o8.dtype == jnp.uint8
     assert np.all(np.asarray(o8)[..., c8:] == 128)
+    # frame_diff_gain amplifies (and clips) the diff planes around 0.5;
+    # the latest-frame plane is untouched and reset diffs stay 0.5.
+    cfgg = RenderConfig(width=32, height=32, frame_diff=True,
+                        frame_diff_gain=4.0)
+    envg = CartPole3D(P, num_envs=3, obs_mode="pixels", render_config=cfgg)
+    sg, og = jax.jit(envg.reset)(0)
+    np.testing.assert_array_equal(np.asarray(og)[..., c:], np.float32(0.5))
+    sg, og, *_ = jax.jit(envg.step)(sg, action)
+    og = np.asarray(og)
+    np.testing.assert_allclose(og[..., :c], raw[-1], rtol=1e-6, atol=1e-6)
+    for i in range(1, P.action_repeats):
+        np.testing.assert_allclose(
+            og[..., i * c:(i + 1) * c],
+            np.clip(2.0 * (raw[i] - raw[i - 1]) + 0.5, 0.0, 1.0),
+            rtol=1e-6, atol=1e-6)
 
 
 def test_auto_reset_obs_is_constant_reset_frame():
