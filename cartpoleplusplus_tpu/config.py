@@ -37,12 +37,12 @@ class RunConfig:
     """Top-level settings for a training run (train.py CLI)."""
 
     agent: str = "ddpg"              # ddpg | dqn | naf | lrpg | random
-    # "" (agent defaults = the QUALITY recipes) or "fast": lift unset
-    # run/agent fields to the measured high-throughput training recipe
-    # (train.py _FAST_PRESETS; explicitly-typed flags always win). The
-    # fast DDPG recipe sustains ~50M env-steps/s through the CLI loop
-    # and reaches >=178 deterministic eval on 3 of 4 seeds (BASELINE.md
-    # round-3 fast-and-good table).
+    # "" (agent defaults = the QUALITY recipes), "fast", or "pixels":
+    # lift unset run/agent fields to a measured recipe (train.py
+    # _PRESETS; explicitly-typed flags always win). fast = ~50M
+    # env-steps/s sustained with >=178 eval on 3 of 4 seeds; pixels =
+    # the pixel-learning winner (grayscale uint8, 120k steps, restored
+    # eval 192.7/195.5 — BASELINE.md round-3 tables).
     preset: str = ""
     num_envs: int = 4096
     obs_mode: str = "pose_stack"     # pose_stack | state | pixels

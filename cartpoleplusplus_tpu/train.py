@@ -39,19 +39,38 @@ _AGENTS = {
     "random": (None, None, "discrete"),
 }
 
-# --preset fast: the measured high-throughput training recipe (round-3
-# fast-and-good sweep, BASELINE.md): ~50M env-steps/s sustained through
-# this CLI loop with deterministic eval >=178 on 3 of 4 seeds (one seed
-# collapses at this cadence — quality-critical runs keep the agent
-# defaults, which solve to the 200 cap at 1024 envs). Explicitly-typed
-# flags always override preset fields.
-_FAST_PRESETS = {
-    "ddpg": {
-        "run": dict(num_envs=4096, total_env_steps=320_000,
-                    steps_per_dispatch=32),
-        "agent": dict(rollout_steps=64, updates_per_step=8,
-                      batch_size=8192, ou_sigma_decay_env_steps=64_000,
-                      warmup_env_steps=0),
+# Named presets: measured recipes from BASELINE.md, applied to unset
+# fields only (explicitly-typed flags always override preset fields).
+# - fast (ddpg): the round-3 fast-and-good sweep — ~50M env-steps/s
+#   sustained through this CLI loop with deterministic eval >=178 on
+#   3 of 4 seeds (one seed collapses at this cadence; quality-critical
+#   runs keep the agent defaults, which solve to the 200 cap at 1024
+#   envs).
+# - pixels (ddpg): the round-3 pixel-learning winner — grayscale uint8
+#   48x48 2-camera obs, 120k per-env steps with lr decay over the first
+#   half; restored-checkpoint eval 192.7/195.5 mean (seeds 1/0), median
+#   200 (38x random).
+_PRESETS = {
+    "fast": {
+        "ddpg": {
+            "run": dict(num_envs=4096, total_env_steps=320_000,
+                        steps_per_dispatch=32),
+            "agent": dict(rollout_steps=64, updates_per_step=8,
+                          batch_size=8192, ou_sigma_decay_env_steps=64_000,
+                          warmup_env_steps=0),
+        },
+    },
+    "pixels": {
+        "ddpg": {
+            "run": dict(num_envs=512, obs_mode="pixels",
+                        render_grayscale=True, render_obs_uint8=True,
+                        total_env_steps=120_000),
+            "agent": dict(actor_lr=3e-4, critic_lr=3e-4,
+                          updates_per_step=16,
+                          replay_capacity_per_env=256,
+                          ou_sigma_decay_env_steps=20_000,
+                          lr_decay_env_steps=60_000),
+        },
     },
 }
 
@@ -112,9 +131,9 @@ def build(run: RunConfig, args: argparse.Namespace, provided=None):
         return env, RandomAgent(env)
     agent_cls = _AGENTS[run.agent][0]
     cfg = from_args(cfg_cls, args, prefix=f"{run.agent}.")
-    if run.preset == "fast" and run.agent in _FAST_PRESETS:
+    if run.preset and run.agent in _PRESETS.get(run.preset, {}):
         over = {k: v
-                for k, v in _FAST_PRESETS[run.agent]["agent"].items()
+                for k, v in _PRESETS[run.preset][run.agent]["agent"].items()
                 if provided is None
                 or f"{run.agent}.{k}" not in provided}
         cfg = dataclasses.replace(cfg, **over)
@@ -130,14 +149,15 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     if run.preset:
-        if run.preset != "fast" or run.agent not in _FAST_PRESETS:
+        if run.agent not in _PRESETS.get(run.preset, {}):
             print(f"unknown preset {run.preset!r} for agent "
                   f"{run.agent!r}; presets: "
-                  f"{sorted('fast:' + a for a in _FAST_PRESETS)}",
+                  f"{sorted(p + ':' + a for p, d in _PRESETS.items() for a in d)}",
                   file=sys.stderr)
             return 2
         run = dataclasses.replace(
-            run, **{k: v for k, v in _FAST_PRESETS[run.agent]["run"].items()
+            run, **{k: v
+                    for k, v in _PRESETS[run.preset][run.agent]["run"].items()
                     if k not in provided})
     env, agent = build(run, args, provided)
 

@@ -375,9 +375,9 @@ def test_preset_fast_merges_without_clobbering(tmp_path, capsys):
     provided = explicit_dests(build_parser(), argv)
     run = from_args(RunConfig, args)
     import dataclasses as dc
-    from cartpoleplusplus_tpu.train import _FAST_PRESETS
+    from cartpoleplusplus_tpu.train import _PRESETS
     run = dc.replace(run, **{k: v
-                             for k, v in _FAST_PRESETS["ddpg"]["run"].items()
+                             for k, v in _PRESETS["fast"]["ddpg"]["run"].items()
                              if k not in provided})
     env, agent = build(run, args, provided)
     assert run.num_envs == 64                      # explicit flag wins
@@ -393,6 +393,36 @@ def test_preset_fast_unknown_agent_errors(capsys):
     rc = main(["--agent", "dqn", "--preset", "fast",
                "--total-env-steps", "4"])
     assert rc == 2
+
+
+def test_preset_pixels_merges_without_clobbering():
+    """--preset pixels lifts unset fields to the measured pixel-learning
+    winner (BASELINE.md round-3: restored eval 192.7/195.5, median 200);
+    explicitly-typed flags always win."""
+    import dataclasses as dc
+
+    from cartpoleplusplus_tpu.config import (RunConfig, explicit_dests,
+                                             from_args)
+    from cartpoleplusplus_tpu.train import _PRESETS, build, build_parser
+
+    argv = ["--agent", "ddpg", "--preset", "pixels", "--num-envs", "8",
+            "--render-size", "24", "--total-env-steps", "4"]
+    args = build_parser().parse_args(argv)
+    provided = explicit_dests(build_parser(), argv)
+    run = from_args(RunConfig, args)
+    run = dc.replace(run,
+                     **{k: v
+                        for k, v in _PRESETS["pixels"]["ddpg"]["run"].items()
+                        if k not in provided})
+    env, agent = build(run, args, provided)
+    assert run.num_envs == 8                      # explicit flag wins
+    assert run.obs_mode == "pixels"               # lifted
+    assert run.render_grayscale and run.render_obs_uint8
+    assert env.obs_shape[-1] == 1 * 2 * env.params.action_repeats
+    assert agent.cfg.actor_lr == 3e-4 and agent.cfg.critic_lr == 3e-4
+    assert agent.cfg.updates_per_step == 16
+    assert agent.cfg.lr_decay_env_steps == 60_000
+    assert agent.cfg.ou_sigma_decay_env_steps == 20_000
 
 
 def test_ckpt_cadence_under_chunked_dispatch(tmp_path):
