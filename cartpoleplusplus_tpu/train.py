@@ -47,9 +47,10 @@ _AGENTS = {
 #   runs keep the agent defaults, which solve to the 200 cap at 1024
 #   envs).
 # - pixels (ddpg): the round-3 pixel-learning winner — grayscale uint8
-#   48x48 2-camera obs, 120k per-env steps with lr decay over the first
-#   half; restored-checkpoint eval 192.7/195.5 mean (seeds 1/0), median
-#   200 (38x random).
+#   48x48 2-camera obs with gain-4 frame-diff motion channels, 120k
+#   per-env steps with lr decay over the first half; restored-checkpoint
+#   eval 195.3 mean / 200 median (38x random; raw-stack variant: 192.7/
+#   195.5 on seeds 1/0 — frame-diff won both same-seed A/Bs, BASELINE.md).
 _PRESETS = {
     "fast": {
         "ddpg": {
@@ -64,6 +65,7 @@ _PRESETS = {
         "ddpg": {
             "run": dict(num_envs=512, obs_mode="pixels",
                         render_grayscale=True, render_obs_uint8=True,
+                        render_frame_diff=True, render_frame_diff_gain=4.0,
                         total_env_steps=120_000),
             "agent": dict(actor_lr=3e-4, critic_lr=3e-4,
                           updates_per_step=16,

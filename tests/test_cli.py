@@ -418,6 +418,7 @@ def test_preset_pixels_merges_without_clobbering():
     assert run.num_envs == 8                      # explicit flag wins
     assert run.obs_mode == "pixels"               # lifted
     assert run.render_grayscale and run.render_obs_uint8
+    assert run.render_frame_diff and run.render_frame_diff_gain == 4.0
     assert env.obs_shape[-1] == 1 * 2 * env.params.action_repeats
     assert agent.cfg.actor_lr == 3e-4 and agent.cfg.critic_lr == 3e-4
     assert agent.cfg.updates_per_step == 16
