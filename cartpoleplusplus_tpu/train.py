@@ -46,6 +46,10 @@ _AGENTS = {
 #   3 of 4 seeds (one seed collapses at this cadence; quality-critical
 #   runs keep the agent defaults, which solve to the 200 cap at 1024
 #   envs).
+# - fast (lrpg): the round-3 kernel-learner solve — 2048 envs, 120k
+#   per-env steps through the fused softmax-PG update kernel at dispatch
+#   16: eval mean episode length 200.0 / 200 at 89.5M env-steps/s
+#   on-policy e2e (BASELINE.md round-3 table) — fast AND solves.
 # - pixels (ddpg): the round-3 pixel-learning winner — grayscale uint8
 #   48x48 2-camera obs with gain-4 frame-diff motion channels, 120k
 #   per-env steps with lr decay over the first half; restored-checkpoint
@@ -59,6 +63,11 @@ _PRESETS = {
             "agent": dict(rollout_steps=64, updates_per_step=8,
                           batch_size=8192, ou_sigma_decay_env_steps=64_000,
                           warmup_env_steps=0),
+        },
+        "lrpg": {
+            "run": dict(num_envs=2048, total_env_steps=120_000,
+                        steps_per_dispatch=16),
+            "agent": dict(learner="kernel"),
         },
     },
     "pixels": {

@@ -395,6 +395,22 @@ def test_preset_fast_unknown_agent_errors(capsys):
     assert rc == 2
 
 
+def test_preset_fast_lrpg_trains_end_to_end(capsys):
+    """--preset fast for lrpg lifts the measured kernel-learner solve
+    recipe (2048 envs, dispatch 16, learner=kernel — BASELINE.md round-3:
+    200.0/200 at 89.5M env-steps/s); explicit flags shrink it to CPU size
+    and the run still trains through the fused update path end to end."""
+    rc = main(["--agent", "lrpg", "--preset", "fast",
+               "--num-envs", "16", "--total-env-steps", "8",
+               "--steps-per-dispatch", "2", "--log-interval", "1",
+               "--lrpg.hidden", "16", "16", "--lrpg.rollout-steps", "2",
+               "--lrpg.learner-block", "16"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    # The preset's learner=kernel must survive the merge (learner_impl=1).
+    assert lines[-1]["learner_impl"] == 1.0
+
+
 def test_preset_pixels_merges_without_clobbering():
     """--preset pixels lifts unset fields to the measured pixel-learning
     winner (BASELINE.md round-3: restored eval 192.7/195.5, median 200);
