@@ -9,9 +9,49 @@ vs_baseline is relative to the driver-set 10M env-steps/s/chip north star
 import json
 import os
 import sys
+import threading
+import time
+
+_T0 = time.perf_counter()
+# Wall-clock budget (seconds). The driver runs bench.py under `timeout 400`
+# and records the tail; round 3 produced NO number (BENCH_r03.json rc=124)
+# because every parity compile preceded the single headline print and a cold
+# cache + tunnel stall ate the 400 s. Defense in depth now:
+#   1. the headline JSON prints (flushed) immediately after the FIRST
+#      measurement — one compile stands between start and the number;
+#   2. each optional parity leg only starts if enough budget remains;
+#   3. a watchdog thread hard-exits 0 at the budget so a stalled compile in
+#      a later leg can never turn into rc=124 with the number already out.
+_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", "350"))
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T0
+
+
+def _remaining() -> float:
+    return _BUDGET - _elapsed()
+
+
+def _arm_watchdog():
+    """After the headline is printed: never let a later (optional) leg
+    stall past the budget. os._exit skips atexit/GC — fine here, all
+    output is flushed at print time."""
+
+    def _fire():
+        time.sleep(max(_remaining(), 0.0))
+        print(json.dumps({"watchdog": "budget exhausted after headline; "
+                          "exiting 0", "elapsed_s": round(_elapsed(), 1)}),
+              file=sys.stderr, flush=True)
+        os._exit(0)
+
+    t = threading.Thread(target=_fire, daemon=True)
+    t.start()
 
 
 def main():
+    if "--suite" in sys.argv or os.environ.get("BENCH_SUITE") == "1":
+        return bench_suite()
     # Persistent compilation cache: the fused-kernel compile is minutes over
     # the TPU tunnel; caching makes repeated bench invocations start fast.
     import jax
@@ -58,11 +98,12 @@ def main():
         return bench_lrpg(num_envs, num_steps)
     if config == "pixels":
         return bench_pixels(num_envs, num_steps)
+    if config == "ddpg_pixels":
+        return bench_ddpg_pixels(num_envs, num_steps)
     params = continuous_params() if config == "continuous" \
         else CartPoleParams()
     env = CartPole3D(params, num_envs=num_envs)
     rollout, impl = best_rollout(env, num_steps)
-    parity = verify_kernel_parity(env) if impl == "pallas_fused" else "n/a"
     try:
         stats = measure_env_steps_per_sec(env, num_steps=num_steps,
                                           rollout=rollout)
@@ -70,29 +111,47 @@ def main():
         if impl == "xla_scan":
             raise
         print(f"pallas path failed ({type(e).__name__}: {e}); "
-              "falling back to xla_scan", file=sys.stderr)
+              "falling back to xla_scan", file=sys.stderr, flush=True)
         from cartpoleplusplus_tpu.ops import reference_rollout
         rollout, impl = reference_rollout(env, num_steps), "xla_scan"
         stats = measure_env_steps_per_sec(env, num_steps=num_steps,
                                           rollout=rollout)
     stats["impl"] = impl
-    stats["hw_parity"] = parity
-    if impl == "pallas_fused":
-        # Round-2 kernels get the same per-round hardware check the
-        # round-1 rollout has (VERDICT r2 weak #2): the actor-in-the-
-        # loop rollout THROUGH THE ENV-BLOCKED GRID (nb=2) and the fused
-        # K-update learner kernel, each vs its XLA twin on this chip.
-        stats["hw_parity_policy"] = verify_policy_rollout_parity()
-        stats["hw_parity_learner"] = verify_learner_kernel_parity()
 
+    # THE deliverable: the headline number, printed the moment it exists
+    # (and echoed as a parseable stats line) — everything after this point
+    # is optional verification running under the watchdog.
     target = 10_000_000.0
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_4096envs",
         "value": round(stats["env_steps_per_sec"], 1),
         "unit": "env-steps/s",
         "vs_baseline": round(stats["env_steps_per_sec"] / target, 4),
-    }))
-    print(json.dumps(stats), file=sys.stderr)
+    }), flush=True)
+    print(json.dumps(stats), file=sys.stderr, flush=True)
+    _arm_watchdog()
+
+    if impl == "pallas_fused":
+        # Per-round hardware parity checks (round-1/2 VERDICT asks): the
+        # physics rollout kernel, the actor-in-the-loop rollout THROUGH
+        # THE ENV-BLOCKED GRID (nb=2), and the fused K-update learner
+        # kernel, each vs its XLA twin on this chip. Each leg is a fresh
+        # compile (seconds warm, minutes cold over the tunnel) — run only
+        # while budget remains; the watchdog bounds a mid-leg stall.
+        legs = (("hw_parity", lambda: verify_kernel_parity(env)),
+                ("hw_parity_policy", verify_policy_rollout_parity),
+                ("hw_parity_learner", verify_learner_kernel_parity))
+        for key, fn in legs:
+            if _remaining() < 45.0:
+                stats[key] = "skipped:budget"
+                continue
+            stats[key] = fn()
+    else:
+        stats["hw_parity"] = "n/a"
+    stats["elapsed_s"] = round(_elapsed(), 1)
+    # Final line (the driver parses the LAST JSON line of the tail —
+    # BENCH_r01's `parsed` is the stats dict): full stats incl. parity.
+    print(json.dumps(stats), file=sys.stderr, flush=True)
 
 
 def verify_kernel_parity(env, num_steps: int = 64) -> str:
@@ -515,6 +574,111 @@ def bench_pixels(num_envs: int, num_steps: int):
                       **{k: stats[k] for k in
                          ("best_seconds", "num_steps")}}),
           file=sys.stderr)
+
+
+def bench_ddpg_pixels(num_envs: int, num_steps: int):
+    """END-TO-END pixel-DDPG training env-steps/s (BASELINE config 4 —
+    VERDICT r3 item 3: the one config with no serious perf story).
+    Defaults mirror `--preset pixels` (the measured >=190-eval recipe:
+    512 envs, grayscale uint8 48x48 2-camera obs with gain-4 frame-diff,
+    16 updates x 256 batch per 8-step rollout). Decomposition knobs:
+    BENCH_PIX_UPDATES=0 isolates rollout+render+insert;
+    BENCH_PIX_ROLLOUT / _BATCH / _ENVS / _DTYPE / _REPLAY probe the
+    learner/batch/HBM axes. Same D2H-sync timing as every other bench."""
+    import jax  # noqa: F401 — backend init before agent build
+
+    from cartpoleplusplus_tpu import CartPole3D
+    from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
+    from cartpoleplusplus_tpu.env.pixels import RenderConfig
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    if "BENCH_NUM_ENVS" not in os.environ:
+        num_envs = 512
+    if "BENCH_NUM_STEPS" not in os.environ:
+        num_steps = 1024
+    rollout = int(os.environ.get("BENCH_PIX_ROLLOUT", "8"))
+    updates = int(os.environ.get("BENCH_PIX_UPDATES", "16"))
+    batch = int(os.environ.get("BENCH_PIX_BATCH", "256"))
+    dtype = os.environ.get("BENCH_PIX_DTYPE", "float32")
+    cap = int(os.environ.get("BENCH_PIX_REPLAY", "256"))
+    rcfg = RenderConfig(dtype="bfloat16", grayscale=True, obs_uint8=True,
+                        frame_diff=True, frame_diff_gain=4.0)
+    env = CartPole3D(continuous_params(), num_envs=num_envs,
+                     obs_mode="pixels", render_config=rcfg)
+    agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
+                                 updates_per_step=updates,
+                                 batch_size=batch, warmup_env_steps=0,
+                                 dtype=dtype,
+                                 replay_capacity_per_env=cap))
+    rate, info = _time_train(agent, rollout, num_envs, num_steps)
+    print(json.dumps({
+        "metric": f"pixel_ddpg_train_env_steps_per_sec_{num_envs}envs",
+        "value": round(rate, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / 1_000_000.0, 4),
+    }), flush=True)
+    print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
+                      "batch_size": batch, "dtype": dtype,
+                      "replay_capacity_per_env": cap,
+                      "obs_shape": list(env.obs_shape), **info}),
+          file=sys.stderr, flush=True)
+
+
+def bench_suite():
+    """`python bench.py --suite` (or BENCH_SUITE=1): the per-agent bench
+    matrix as ONE durable artifact. Runs each config in a fresh
+    subprocess (isolated jax state; a stall in one config can't sink the
+    rest), collects every JSON line it prints, and writes
+    BENCH_SUITE.json at the repo root — the driver-capturable/committed
+    form of the per-agent numbers that previously lived only in
+    BASELINE.md prose (VERDICT r3 item 8). Too heavy for the driver's
+    400 s plain-`bench.py` budget (5+ independent kernel compiles), so
+    the builder session runs it and commits the artifact;
+    BENCH_SUITE_CONFIGS / BENCH_SUITE_TIMEOUT tune it."""
+    import subprocess
+
+    configs = os.environ.get(
+        "BENCH_SUITE_CONFIGS", "discrete,ddpg,dqn,naf,lrpg,pixels"
+    ).split(",")
+    per_timeout = float(os.environ.get("BENCH_SUITE_TIMEOUT", "900"))
+    out = {"results": {}}
+    for cfg in configs:
+        cfg = cfg.strip()
+        env = dict(os.environ, BENCH_CONFIG=cfg)
+        env.pop("BENCH_SUITE", None)
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=per_timeout, cwd=os.path.dirname(
+                    os.path.abspath(__file__)))
+            lines = []
+            for stream in (proc.stdout, proc.stderr):
+                for ln in stream.splitlines():
+                    ln = ln.strip()
+                    if ln.startswith("{"):
+                        try:
+                            lines.append(json.loads(ln))
+                        except ValueError:
+                            pass
+            out["results"][cfg] = {"rc": proc.returncode, "lines": lines,
+                                   "seconds": round(
+                                       time.perf_counter() - t0, 1)}
+        except subprocess.TimeoutExpired:
+            out["results"][cfg] = {"rc": "timeout",
+                                   "seconds": round(per_timeout, 1)}
+        headline = next((ln for ln in
+                         out["results"][cfg].get("lines", [])
+                         if "metric" in ln), None)
+        print(json.dumps({"config": cfg, **(headline or
+                          {"error": out["results"][cfg]["rc"]})}),
+              flush=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_SUITE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -170,7 +170,17 @@ def main(argv=None) -> int:
             run, **{k: v
                     for k, v in _PRESETS[run.preset][run.agent]["run"].items()
                     if k not in provided})
-    env, agent = build(run, args, provided)
+    try:
+        env, agent = build(run, args, provided)
+    except ValueError as e:
+        # Config-validation errors (e.g. --preset fast pins the lrpg
+        # kernel learner, which rejects dtypes/shapes outside its
+        # window) surface as the CLI's clean rc=2 path, not a traceback.
+        hint = (" (note: --preset {} may pin fields, e.g. learner="
+                "\"kernel\" for lrpg; override with explicit flags)"
+                .format(run.preset) if run.preset else "")
+        print(f"invalid configuration: {e}{hint}", file=sys.stderr)
+        return 2
 
     if run.agent == "random":
         # total_env_steps is PER-ENV everywhere (the training loop runs
