@@ -452,3 +452,47 @@ def test_shardmap_evaluate_matches_global(learner):
                                rtol=1e-6)
     np.testing.assert_allclose(got["done_frac"], ref["done_frac"],
                                rtol=1e-6)
+
+
+def test_shardmap_dqn_learns():
+    """Multi-device LEARNING, not just parity (VERDICT r3 item 6 /
+    BASELINE config 5): DQN trained entirely through the shard_map
+    learner on the 8-device mesh — chip-local rollout + replay, gradient
+    pmean — must beat the random baseline >=2x on the exact
+    completed-episode statistics, evaluated through the SHARDED eval
+    path. Budget mirrors tests/test_learning.py::test_dqn_learns_discrete
+    (same recipe, 64 envs -> 8 per shard); a dropped collective or a
+    per-shard lr/batch scaling bug collapses this to ~random."""
+    from cartpoleplusplus_tpu.agents import DQN, DQNConfig, RandomAgent
+    from cartpoleplusplus_tpu.dist import (DATA_AXIS,
+                                           make_shardmap_evaluate,
+                                           make_shardmap_train_scan)
+
+    n = 8
+    mesh = make_mesh(jax.devices()[:n])
+    params = CartPoleParams()
+    cfg = DQNConfig(hidden=(64, 64), rollout_steps=16,
+                    updates_per_step=8, batch_size=128,
+                    replay_capacity_per_env=512, lr=5e-4,
+                    eps_decay_env_steps=1200, eps_end=0.05,
+                    warmup_env_steps=32, sample="uniform")
+    env_g = CartPole3D(params, num_envs=8 * n)
+    state = shard_agent_state(DQN(env_g, cfg).init(0), mesh)
+    agent_l = DQN(CartPole3D(params, num_envs=8), cfg,
+                  dist_axis=DATA_AXIS, num_shards=n)
+
+    k = 5  # 25 dispatches x 5 scanned train steps = 2000 per-env steps
+    scan = make_shardmap_train_scan(agent_l, mesh, k, state)
+    for _ in range((2000 // 16) // k):
+        state, _ = scan(state)
+    stats = {key: float(v) for key, v in make_shardmap_evaluate(
+        agent_l, mesh, state, 400, 7)(state).items()}
+
+    rand = {key: float(v) for key, v in jax.jit(
+        RandomAgent(env_g).evaluate, static_argnums=(1,))(
+            jax.random.PRNGKey(7), 400).items()}
+    assert stats["episodes"] > 0
+    assert stats["mean_episode_length"] > 2.0 * rand["mean_episode_length"], (
+        f"sharded greedy {stats['mean_episode_length']:.1f} vs random "
+        f"{rand['mean_episode_length']:.1f} — shard_map learner did not "
+        "learn (collective / per-shard scaling regression?)")
