@@ -601,6 +601,9 @@ def bench_ddpg_pixels(num_envs: int, num_steps: int):
     batch = int(os.environ.get("BENCH_PIX_BATCH", "256"))
     dtype = os.environ.get("BENCH_PIX_DTYPE", "float32")
     cap = int(os.environ.get("BENCH_PIX_REPLAY", "256"))
+    pol = os.environ.get("BENCH_PIX_POLYAK", "per_update")
+    agc = os.environ.get("BENCH_PIX_AGC", "updated")
+    enc = os.environ.get("BENCH_PIX_ENCODER", "conv")
     rcfg = RenderConfig(dtype="bfloat16", grayscale=True, obs_uint8=True,
                         frame_diff=True, frame_diff_gain=4.0)
     env = CartPole3D(continuous_params(), num_envs=num_envs,
@@ -608,7 +611,8 @@ def bench_ddpg_pixels(num_envs: int, num_steps: int):
     agent = DDPG(env, DDPGConfig(rollout_steps=rollout,
                                  updates_per_step=updates,
                                  batch_size=batch, warmup_env_steps=0,
-                                 dtype=dtype,
+                                 dtype=dtype, polyak_cadence=pol,
+                                 actor_grad_critic=agc, encoder=enc,
                                  replay_capacity_per_env=cap))
     rate, info = _time_train(agent, rollout, num_envs, num_steps)
     print(json.dumps({
@@ -620,6 +624,8 @@ def bench_ddpg_pixels(num_envs: int, num_steps: int):
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
                       "batch_size": batch, "dtype": dtype,
                       "replay_capacity_per_env": cap,
+                      "polyak_cadence": pol, "actor_grad_critic": agc,
+                      "encoder": enc,
                       "obs_shape": list(env.obs_shape), **info}),
           file=sys.stderr, flush=True)
 

@@ -104,6 +104,11 @@ class DDPGConfig:
     # its Adam step count — ops/learner_kernel.py::_sched_lr).
     lr_decay_env_steps: int = 0
     lr_end_frac: float = 0.1
+    # Pixel-obs encoder: "conv" (3x3-stride-2 stack, the reference-shaped
+    # default) or "patch" (non-overlapping patch embedding — MXU-native;
+    # the measured pixel-training throughput winner, models/nets.py::
+    # PatchEncoder). Ignored for state observations.
+    encoder: str = "conv"
 
 
 class DDPGState(NamedTuple):
@@ -144,8 +149,10 @@ class DDPG:
             # Reference's pixel-obs DDPG: conv stack in front of both nets
             # (BASELINE config 4); frames replayed quantized to uint8.
             self.actor_net = VisualActor(action_dim=env.action_dim,
-                                         hidden=config.hidden, dtype=dtype)
-            self.critic_net = VisualCritic(hidden=config.hidden, dtype=dtype)
+                                         hidden=config.hidden, dtype=dtype,
+                                         encoder=config.encoder)
+            self.critic_net = VisualCritic(hidden=config.hidden, dtype=dtype,
+                                           encoder=config.encoder)
         else:
             self.actor_net = ActorMLP(action_dim=env.action_dim,
                                       hidden=config.hidden, dtype=dtype)

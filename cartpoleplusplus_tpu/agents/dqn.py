@@ -62,6 +62,8 @@ class DQNConfig:
     learner: str = "auto"
     learner_block: int = 512         # kernel batch-block (VMEM budget)
     learner_precision: str | None = None  # in-kernel matmul precision
+    # Pixel-obs encoder: "conv" | "patch" (see DDPGConfig.encoder).
+    encoder: str = "conv"
 
 
 class DQNState(NamedTuple):
@@ -92,7 +94,8 @@ class DQN:
         pixels = env.obs_mode == "pixels"
         if pixels:
             self.q_net = VisualQNet(num_actions=env.num_actions,
-                                    hidden=config.hidden, dtype=dtype)
+                                    hidden=config.hidden, dtype=dtype,
+                                    encoder=config.encoder)
         else:
             self.q_net = QNetMLP(num_actions=env.num_actions,
                                  hidden=config.hidden, dtype=dtype)

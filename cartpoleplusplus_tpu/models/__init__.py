@@ -16,6 +16,7 @@ from .nets import (
     ActorMLP,
     CriticMLP,
     NafNet,
+    PatchEncoder,
     PixelEncoder,
     PolicyMLP,
     QNetMLP,
@@ -29,6 +30,7 @@ __all__ = [
     "ActorMLP",
     "CriticMLP",
     "NafNet",
+    "PatchEncoder",
     "PixelEncoder",
     "PolicyMLP",
     "QNetMLP",

@@ -162,10 +162,11 @@ class VisualActor(nn.Module):
     hidden: Sequence[int] = (256, 256)
     features: Sequence[int] = (16, 32, 32)
     dtype: jnp.dtype = jnp.float32
+    encoder: str = "conv"
 
     @nn.compact
     def __call__(self, img):
-        x = PixelEncoder(self.features, self.dtype)(img)
+        x = _encoder(self.encoder, self.features, self.dtype)(img)
         return ActorMLP(self.action_dim, self.hidden, self.dtype)(x)
 
 
@@ -175,10 +176,11 @@ class VisualCritic(nn.Module):
     hidden: Sequence[int] = (256, 256)
     features: Sequence[int] = (16, 32, 32)
     dtype: jnp.dtype = jnp.float32
+    encoder: str = "conv"
 
     @nn.compact
     def __call__(self, img, action):
-        x = PixelEncoder(self.features, self.dtype)(img)
+        x = _encoder(self.encoder, self.features, self.dtype)(img)
         return CriticMLP(self.hidden, self.dtype)(x, action)
 
 
@@ -189,10 +191,11 @@ class VisualQNet(nn.Module):
     hidden: Sequence[int] = (256, 256)
     features: Sequence[int] = (16, 32, 32)
     dtype: jnp.dtype = jnp.float32
+    encoder: str = "conv"
 
     @nn.compact
     def __call__(self, img):
-        x = PixelEncoder(self.features, self.dtype)(img)
+        x = _encoder(self.encoder, self.features, self.dtype)(img)
         return QNetMLP(self.num_actions, self.hidden, self.dtype)(x)
 
 
@@ -218,3 +221,58 @@ class PixelEncoder(nn.Module):
             x = nn.relu(x)
         x = x.reshape(x.shape[:-3] + (-1,))
         return x.astype(jnp.float32)
+
+
+class PatchEncoder(nn.Module):
+    """MXU-native pixel encoder: non-overlapping patch embedding + per-
+    patch MLP; global mixing happens in the torso's first Dense over the
+    flattened patch features.
+
+    Motivation (measured, round 4): the conv encoder's channel widths
+    (6 -> 16 -> 32) occupy 5-25% of the MXU's 128 lanes, so XLA's conv
+    lowering runs the pixel-DDPG update phase at ~13% of f32 peak —
+    insensitive to precision and batch shape (bf16 and 4x1024-batch A/Bs
+    both within noise; BASELINE.md round-4 decomposition). Reshaping each
+    frame into P x P non-overlapping patches turns the encoder into dense
+    matmuls with >=128-wide contraction dims (patch dim = P*P*C = 216 at
+    48x48x6), which XLA tiles onto the MXU at full lane width. Same
+    capability as the conv stack (a learned local feature map), traded
+    convolutional weight-sharing for MXU shape — the right trade on TPU
+    for 48x48 frames with fixed cameras, validated by the round-4
+    quality A/B (BASELINE.md).
+
+    Input: (..., H, W, C) float in [0, 1] or uint8; H and W must divide
+    by `patch`. Output: (..., (H/P)*(W/P)*features[-1]) float32.
+    """
+
+    patch: int = 6
+    features: Sequence[int] = (128, 32)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        x = img.astype(self.dtype)
+        if img.dtype == jnp.uint8:  # env's quantized-obs mode
+            x = x * jnp.asarray(1.0 / 255.0, self.dtype)
+        *lead, h, w, c = x.shape
+        p = self.patch
+        hp, wp = h // p, w // p
+        x = x.reshape(*lead, hp, p, wp, p, c)
+        x = jnp.moveaxis(x, -4, -3)          # (..., hp, wp, p, p, c)
+        x = x.reshape(*lead, hp * wp, p * p * c)
+        for f in self.features:
+            x = nn.Dense(f, dtype=self.dtype)(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(*lead, hp * wp * self.features[-1])
+        return x.astype(jnp.float32)
+
+
+def _encoder(encoder: str, conv_features, dtype):
+    """Encoder factory shared by the Visual* nets ("conv" | "patch")."""
+    if encoder == "patch":
+        return PatchEncoder(dtype=dtype)
+    if encoder != "conv":
+        raise ValueError(f"encoder must be 'conv' or 'patch', got "
+                         f"{encoder!r}")
+    return PixelEncoder(conv_features, dtype)

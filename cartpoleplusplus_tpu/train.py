@@ -151,7 +151,26 @@ def build(run: RunConfig, args: argparse.Namespace, provided=None):
     return env, agent_cls(env, cfg)
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache (same location bench.py uses):
+    TPU compiles over the tunnel run minutes; the cache turns repeat CLI
+    invocations at the same shapes into seconds. JAX_CACHE_DIR overrides
+    the location; CARTPOLE_NO_CACHE=1 disables."""
+    if os.environ.get("CARTPOLE_NO_CACHE") == "1":
+        return
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     provided = explicit_dests(build_parser(), argv)
     run = from_args(RunConfig, args)

@@ -61,6 +61,9 @@ def main() -> int:
     from cartpoleplusplus_tpu import CartPole3D
     from cartpoleplusplus_tpu.agents import NAF, NAFConfig
     from cartpoleplusplus_tpu.physics.params import continuous_params
+    from cartpoleplusplus_tpu.train import enable_compile_cache
+
+    enable_compile_cache()
 
     env = CartPole3D(continuous_params(), num_envs=args.num_envs)
     cfg = NAFConfig(learner=args.learner)

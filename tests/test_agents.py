@@ -318,6 +318,7 @@ def test_ddpg_bfloat16_compute():
     assert a.dtype == jnp.float32 and np.all(np.abs(np.asarray(a)) <= 1.0)
 
 
+@pytest.mark.slow
 def test_presample_matches_sequential_sampling():
     """The learner's hoisted K-minibatch presample (agents/common.py::
     replay_presample, one vmapped gather before the update scan) draws

@@ -9,6 +9,10 @@ import numpy as np
 from cartpoleplusplus_tpu.config import RunConfig, add_dataclass_args, from_args
 from cartpoleplusplus_tpu.train import _AGENTS, build, build_parser, main
 from cartpoleplusplus_tpu.eventlog import read_records, validate
+import pytest
+
+# End-to-end CLI runs (subprocess + full train loops): slow tier.
+pytestmark = pytest.mark.slow
 
 
 def test_flag_roundtrip_defaults():

@@ -73,6 +73,7 @@ def test_ddpg_sharded_train_step(n):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_graft_entry_contract():
     """The driver-facing entry points run on the virtual device mesh."""
     import importlib.util
@@ -134,6 +135,7 @@ def test_shardmap_ddpg_train_step():
     assert state.obs.sharding.num_devices == n
 
 
+@pytest.mark.slow
 def test_shardmap_train_scan_matches_loop():
     """Chunked dispatch under the shard_map learner: scanning K train
     steps inside the shard_map body computes bitwise the same state as
@@ -210,6 +212,7 @@ def test_shardmap_dqn_naf_train_step(agent_spec):
         np.testing.assert_array_equal(shards[0], sh)
 
 
+@pytest.mark.slow
 def test_shardmap_kernel_learner_matches_xla():
     """VERDICT r2 missing #1: the fused update kernel composes with
     shard_map via batch replication (gather_batches) — the per-shard
@@ -257,6 +260,7 @@ def test_shardmap_kernel_learner_matches_xla():
         np.testing.assert_array_equal(shards[0], sh)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("agent_spec", ["dqn", "naf"])
 def test_shardmap_kernel_learner_dqn_naf(agent_spec):
     """The batch-replication composition covers DQN and NAF too: the
@@ -351,6 +355,7 @@ def test_lrpg_sampling_batch_slot_independent():
         np.concatenate([np.asarray(a_lo), np.asarray(a_hi)]))
 
 
+@pytest.mark.slow
 def test_shardmap_lrpg_matches_single_device():
     """LRPG under shard_map (round 3: the last agent family to get a
     dist path) matches the single-device agent on the union window for
@@ -403,6 +408,7 @@ def test_shardmap_lrpg_matches_single_device():
             np.testing.assert_array_equal(shards[0], sh)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("learner", ["xla", "kernel"])
 def test_shardmap_evaluate_matches_global(learner):
     """Sharded eval (dist/shardmap.py::make_shardmap_evaluate) is the

@@ -578,6 +578,10 @@ def test_kernel_learner_bf16_precision_stays_close():
 
 from cartpoleplusplus_tpu.agents import LRPG, LRPGConfig
 
+# Interpret-mode kernel parity: every test compiles a Pallas kernel on
+# CPU — the most compile-heavy file in the suite (slow tier).
+pytestmark = pytest.mark.slow
+
 N_ROWS = 128  # rollout window rows (T * B) for the synthetic tests
 
 

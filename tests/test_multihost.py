@@ -11,6 +11,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# Spawns 2-process jax.distributed runtimes: slow tier.
+pytestmark = pytest.mark.slow
+
 _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"

@@ -259,3 +259,42 @@ def test_grayscale_composite_parity():
     assert env.obs_shape == (16, 16, 1 * 2 * P.action_repeats)
     _, obs = jax.jit(env.reset)(0)
     assert obs.shape == (3,) + env.obs_shape
+
+
+def test_patch_encoder_shapes_and_training():
+    """PatchEncoder (models/nets.py): the MXU-native pixel encoder —
+    output shape contract ((H/P)*(W/P)*features[-1] flat f32), uint8
+    and float inputs produce identical features, and a pixel-DDPG train
+    step through encoder="patch" learns finite metrics end to end
+    (round-4 throughput redesign; quality A/B in BASELINE.md)."""
+    from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
+    from cartpoleplusplus_tpu.models import PatchEncoder
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    enc = PatchEncoder()          # patch 6, features (128, 32)
+    img_u8 = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (4, 48, 48, 6)),
+        jnp.uint8)
+    params = enc.init(jax.random.PRNGKey(0), img_u8)
+    feats = enc.apply(params, img_u8)
+    assert feats.shape == (4, 8 * 8 * 32) and feats.dtype == jnp.float32
+    feats_f = enc.apply(params, img_u8.astype(jnp.float32) / 255.0)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_f),
+                               atol=1e-5)
+
+    cfg = RenderConfig(width=48, height=48, grayscale=True, obs_uint8=True)
+    env = CartPole3D(continuous_params(), num_envs=16, obs_mode="pixels",
+                     render_config=cfg)
+    agent = DDPG(env, DDPGConfig(hidden=(32, 32), rollout_steps=2,
+                                 updates_per_step=2, batch_size=32,
+                                 replay_capacity_per_env=16,
+                                 warmup_env_steps=0, encoder="patch"))
+    st = agent.init(0)
+    a0 = jax.tree.map(jnp.copy, st.actor)
+    st, m = agent.train_step(st)
+    assert np.isfinite(float(m["critic_loss"]))
+    assert np.isfinite(float(m["actor_loss"]))
+    moved = any(float(jnp.max(jnp.abs(a - b))) > 0
+                for a, b in zip(jax.tree.leaves(a0),
+                                jax.tree.leaves(st.actor)))
+    assert moved, "patch-encoder train step left the actor unchanged"

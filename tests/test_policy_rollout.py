@@ -20,6 +20,10 @@ from cartpoleplusplus_tpu.ops.policy_rollout import (
 )
 from cartpoleplusplus_tpu.physics.params import continuous_params
 
+# Fused policy-rollout parity (interpret mode): compile-heavy (slow
+# tier); the fast tier keeps kernel coverage via tests/test_ops.py.
+pytestmark = pytest.mark.slow
+
 HIDDEN = (32, 32)
 T = 3
 
