@@ -156,7 +156,7 @@ def gated_update_scan(st, upd_body, num_updates: int, ready,
 
 
 def replay_sampler(replay, sample_mode: str, batch_size: int,
-                   num_shards: int, dist_axis):
+                   num_shards: int, dist_axis, decode: bool = True):
     """Per-key minibatch draw fn(replay_state, key) -> batch, with the
     per-shard decorrelation fold applied under shard_map."""
     sample_fn = (replay.sample_columns if sample_mode == "column"
@@ -166,7 +166,7 @@ def replay_sampler(replay, sample_mode: str, batch_size: int,
     def one(rs, key):
         if dist_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(dist_axis))
-        return sample_fn(rs, key, bs)
+        return sample_fn(rs, key, bs, decode=decode)
 
     return one
 
@@ -177,27 +177,31 @@ def replay_presample(replay, sample_mode: str, batch_size: int,
     ReplayBuffer: vmap the per-key minibatch draw over the K update
     keys (same per-shard decorrelation fold as the in-body sampling).
 
-    Returns None for quantized (pixel) buffers — presampling would
-    materialize K decoded float32 frame batches at once, and the pixel
-    learner is renderer-bound anyway; the update body then receives the
-    raw key and samples inside the scan as before.
+    Quantized (pixel) buffers presample in STORAGE dtype (decode=False):
+    the K x batch frame stack stays uint8 (4x smaller than decoded f32)
+    and the pixel encoders consume uint8 directly, applying the same
+    1/255 scaling _decode_obs would (models/nets.py) — numerically
+    identical in f32 nets. Round-4 fix: pixels previously skipped
+    presampling entirely, leaving K sequential in-scan gathers against
+    the multi-GB ring on the serial critical path — measured as a
+    ~9 ms per-train-step floor that no encoder/precision/batch-shape
+    change could move (BASELINE.md round-4 decomposition).
 
     Without a shard fold the K draws collapse into ONE gather per ring
     buffer instead of K vmapped slice/gather chains, bitwise the same
     batches: ReplayBuffer.presample_columns for whole-column batches
     (batch % num_envs == 0), presample_uniform for the uniform mode."""
-    if replay.quantize_obs:
-        return None
+    decode = not replay.quantize_obs
     bs = local_batch(batch_size, num_shards)
     if dist_axis is None:
-        if sample_mode == "column" and bs % replay.num_envs == 0:
-            return lambda s, keys: replay.presample_columns(s.replay,
-                                                            keys, bs)
+        if sample_mode == "column":
+            return lambda s, keys: replay.presample_columns(
+                s.replay, keys, bs, decode=decode)
         if sample_mode == "uniform":
-            return lambda s, keys: replay.presample_uniform(s.replay,
-                                                            keys, bs)
+            return lambda s, keys: replay.presample_uniform(
+                s.replay, keys, bs, decode=decode)
     one = replay_sampler(replay, sample_mode, batch_size, num_shards,
-                         dist_axis)
+                         dist_axis, decode=decode)
     return lambda s, keys: jax.vmap(one, in_axes=(None, 0))(s.replay, keys)
 
 

@@ -87,6 +87,13 @@ class ReplayBuffer:
             return jnp.clip(obs * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
         return obs.astype(jnp.float32)
 
+    def _reshape_obs(self, stored):
+        """(..., flat) -> (..., *obs_shape) in the STORAGE dtype
+        (decode=False sampling: pixel encoders consume uint8
+        directly with the same 1/255 scaling _decode_obs applies).
+        """
+        return stored.reshape(stored.shape[:-1] + self.obs_shape)
+
     def _decode_obs(self, stored):
         """(..., flat) -> (..., *obs_shape) float32."""
         out = stored.reshape(stored.shape[:-1] + self.obs_shape)
@@ -193,7 +200,8 @@ class ReplayBuffer:
 
         return jax.lax.cond(rs.cursor % t == 0, fast, slow, rs)
 
-    def sample_columns(self, rs: ReplayState, key, batch_size: int):
+    def sample_columns(self, rs: ReplayState, key, batch_size: int,
+                       decode: bool = True):
         """Column minibatch: whole ring COLUMNS (one random valid slot x
         all envs) instead of independent (env, slot) pairs.
 
@@ -224,8 +232,10 @@ class ReplayBuffer:
         def cols(buf, ss):
             return jnp.concatenate([col(buf, ss[i]) for i in range(k)], 0)
 
-        obs = self._decode_obs(cols(rs.obs, slots))
-        next_obs = self._decode_obs(cols(rs.obs, (slots + 1) % self.capacity))
+        dec = (self._decode_obs if decode else
+               self._reshape_obs)   # storage dtype, frame shape
+        obs = dec(cols(rs.obs, slots))
+        next_obs = dec(cols(rs.obs, (slots + 1) % self.capacity))
         action = cols(rs.action, slots)
         reward = cols(rs.reward, slots)
         done = cols(rs.done, slots)
@@ -241,7 +251,8 @@ class ReplayBuffer:
 
         return tuple(trim(x) for x in batch)
 
-    def presample_columns(self, rs: ReplayState, keys, batch_size: int):
+    def presample_columns(self, rs: ReplayState, keys, batch_size: int,
+                          decode: bool = True):
         """All K update minibatches as ONE gather per ring buffer.
 
         Bitwise-equivalent to `jax.vmap(sample_columns)` over the K
@@ -250,40 +261,54 @@ class ReplayBuffer:
         collapse into a single `jnp.take` along the slot axis per buffer
         — the vmapped form lowers to per-key dynamic-slice chains whose
         ~20 us fixed cost each lands on the serial op stream
-        (docs/design.md §8d/§8e). Requires batch_size to be a whole
-        number of columns (batch % num_envs == 0);
-        agents/common.replay_presample falls back to the vmapped path
-        otherwise."""
+        (docs/design.md §8d/§8e). Any batch_size: when it is not a whole
+        number of columns, the per-update random-offset trim of
+        sample_columns is applied as one batched wrap-around gather
+        (bitwise the same rows; round 4 — the vmapped fallback this
+        replaces compiled pathologically for pixel rings)."""
         b = self.num_envs
-        k_cols = batch_size // b
-        if batch_size != k_cols * b:
-            raise ValueError("presample_columns needs batch_size to be a "
-                             "multiple of num_envs")
+        k_cols = -(-batch_size // b)                # columns per update
         n_valid = jnp.maximum(rs.filled - 1, 1)
 
         def slots_for(key):
-            k_slot, _ = jax.random.split(key)
+            k_slot, k_env = jax.random.split(key)
             ages = jax.random.randint(k_slot, (k_cols,), 1, n_valid + 1)
-            return (rs.cursor - 1 - ages) % self.capacity
+            off = jax.random.randint(k_env, (), 0, k_cols * b)
+            return (rs.cursor - 1 - ages) % self.capacity, off
 
-        slots = jax.vmap(slots_for)(keys)           # (K, C) — tiny
+        slots, offs = jax.vmap(slots_for)(keys)     # (K, C), (K,) — tiny
         flat = slots.reshape(-1)                    # (K*C,)
         kk = keys.shape[0]
+        trim = batch_size != k_cols * b
+        # sample_columns trims `batch_size` rows at a random offset with
+        # wraparound (dynamic_slice over a doubled axis); the same rows
+        # via one modular take_along_axis per buffer, outside the scan.
+        row_idx = (offs[:, None]
+                   + jnp.arange(batch_size, dtype=jnp.int32)[None, :]) \
+            % (k_cols * b)                          # (K, bs)
 
         def take(buf, idx):
             # (B, K*C, ...) -> (K, C*B, ...) in sample_columns's
             # concat order (column-major over envs within each update).
             out = jnp.take(buf, idx, axis=1)
             out = jnp.moveaxis(out, 1, 0)
-            return out.reshape((kk, k_cols * b) + buf.shape[2:])
+            out = out.reshape((kk, k_cols * b) + buf.shape[2:])
+            if trim:
+                ridx = row_idx.reshape((kk, batch_size)
+                                       + (1,) * (out.ndim - 2))
+                out = jnp.take_along_axis(out, ridx, axis=1)
+            return out
 
-        obs = self._decode_obs(take(rs.obs, flat))
-        next_obs = self._decode_obs(
+        dec = (self._decode_obs if decode else
+               self._reshape_obs)   # storage dtype, frame shape
+        obs = dec(take(rs.obs, flat))
+        next_obs = dec(
             take(rs.obs, (flat + 1) % self.capacity))
         return (obs, take(rs.action, flat), take(rs.reward, flat),
                 next_obs, take(rs.done, flat))
 
-    def presample_uniform(self, rs: ReplayState, keys, batch_size: int):
+    def presample_uniform(self, rs: ReplayState, keys, batch_size: int,
+                          decode: bool = True):
         """All K uniform minibatches as ONE flat gather per ring buffer —
         bitwise-equivalent to `jax.vmap(sample)` over the K per-update
         keys (same (env, slot) draws), but the K x batch per-row gathers
@@ -310,12 +335,15 @@ class ReplayBuffer:
             return jnp.take(flat_buf, idx, axis=0).reshape(
                 (k_updates, batch_size) + buf.shape[2:])
 
-        obs = self._decode_obs(take(rs.obs, flat))
-        next_obs = self._decode_obs(take(rs.obs, flat_next))
+        dec = (self._decode_obs if decode else
+               self._reshape_obs)   # storage dtype, frame shape
+        obs = dec(take(rs.obs, flat))
+        next_obs = dec(take(rs.obs, flat_next))
         return (obs, take(rs.action, flat), take(rs.reward, flat),
                 next_obs, take(rs.done, flat))
 
-    def sample(self, rs: ReplayState, key, batch_size: int):
+    def sample(self, rs: ReplayState, key, batch_size: int,
+               decode: bool = True):
         """Uniform minibatch of (obs, action, reward, next_obs, done).
 
         Samples (env, slot) pairs uniformly over valid slots; next_obs is
@@ -332,8 +360,10 @@ class ReplayBuffer:
         age = jax.random.randint(k_slot, (batch_size,), 1, n_valid + 1)
         slot = (rs.cursor - 1 - age) % self.capacity
         nxt = (slot + 1) % self.capacity
-        obs = self._decode_obs(rs.obs[env_idx, slot])
-        next_obs = self._decode_obs(rs.obs[env_idx, nxt])
+        dec = (self._decode_obs if decode else
+               self._reshape_obs)   # storage dtype, frame shape
+        obs = dec(rs.obs[env_idx, slot])
+        next_obs = dec(rs.obs[env_idx, nxt])
         action = rs.action[env_idx, slot]
         reward = rs.reward[env_idx, slot]
         done = rs.done[env_idx, slot]

@@ -555,3 +555,68 @@ def test_ddpg_lr_decay_schedule():
         st_c, _ = step_c(st_c)
     leaves = zip(jax.tree.leaves(st.critic), jax.tree.leaves(st_c.critic))
     assert any(float(jnp.max(jnp.abs(a - b))) > 0 for a, b in leaves)
+
+
+def test_pixel_presample_storage_dtype_matches_decoded():
+    """Quantized (pixel) replay presampling returns STORAGE-dtype (uint8)
+    frames (round-4 throughput fix — agents/common.py::replay_presample);
+    decoding them must reproduce the decode=True batches exactly, and the
+    encoders' own uint8 handling (x * 1/255) is that same decode."""
+    from cartpoleplusplus_tpu.agents.replay import ReplayBuffer
+
+    rng = np.random.default_rng(3)
+    buf = ReplayBuffer(num_envs=8, capacity_per_env=16,
+                       obs_shape=(6, 6, 2), action_dim=2, discrete=False,
+                       quantize_obs=True)
+    rs = buf.init()
+    for t in range(20):
+        obs = jnp.asarray(rng.random((8, 6, 6, 2)), jnp.float32)
+        act = jnp.asarray(rng.random((8, 2)), jnp.float32)
+        rew = jnp.asarray(rng.random(8), jnp.float32)
+        done = jnp.asarray(rng.random(8) < 0.1)
+        rs = buf.add(rs, obs, act, rew, done)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    for fn, bs in ((buf.presample_uniform, 32),
+                   (buf.presample_columns, 8)):
+        raw = fn(rs, keys, bs, decode=False)
+        dec = fn(rs, keys, bs, decode=True)
+        assert raw[0].dtype == jnp.uint8 and raw[3].dtype == jnp.uint8
+        assert raw[0].shape == dec[0].shape  # frame-shaped either way
+        np.testing.assert_array_equal(
+            np.asarray(raw[0].astype(jnp.float32)
+                       * jnp.float32(1.0 / 255.0)),
+            np.asarray(dec[0]))
+        np.testing.assert_array_equal(
+            np.asarray(raw[3].astype(jnp.float32)
+                       * jnp.float32(1.0 / 255.0)),
+            np.asarray(dec[3]))
+        for i in (1, 2, 4):
+            np.testing.assert_array_equal(np.asarray(raw[i]),
+                                          np.asarray(dec[i]))
+
+
+def test_presample_columns_any_batch_matches_sample_columns():
+    """presample_columns with batch_size NOT a multiple of num_envs
+    (round-4 generalization: one modular take_along_axis replaces the
+    per-update random-offset trim) is bitwise jax.vmap(sample_columns)
+    over the same keys — the pixel preset shape (batch 256 < 512 envs)
+    now takes the one-gather path instead of the vmapped fallback."""
+    from cartpoleplusplus_tpu.agents.replay import ReplayBuffer
+
+    rng = np.random.default_rng(11)
+    buf = ReplayBuffer(num_envs=8, capacity_per_env=32, obs_dim=5,
+                       action_dim=2, discrete=False)
+    rs = buf.init()
+    for _ in range(40):
+        rs = buf.add(rs,
+                     jnp.asarray(rng.random((8, 5)), jnp.float32),
+                     jnp.asarray(rng.random((8, 2)), jnp.float32),
+                     jnp.asarray(rng.random(8), jnp.float32),
+                     jnp.asarray(rng.random(8) < 0.1))
+    keys = jax.random.split(jax.random.PRNGKey(9), 5)
+    for bs in (3, 8, 12, 20, 24):
+        got = buf.presample_columns(rs, keys, bs)
+        want = jax.vmap(lambda k: buf.sample_columns(rs, k, bs))(keys)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

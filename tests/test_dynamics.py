@@ -37,6 +37,7 @@ def random_state(key, max_tilt=0.8):
     return q, qd
 
 
+@pytest.mark.slow  # deep physics cross-check; oracle/golden parity stays fast
 @pytest.mark.parametrize("seed", range(8))
 def test_closed_form_matches_autodiff_lagrangian(seed):
     key = jax.random.PRNGKey(seed)
