@@ -542,7 +542,8 @@ class DDPG:
             (env_state, obs, noise), traj = jax.lax.scan(
                 env_body, (st.env_state, st.obs, st.noise),
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
-        replay = self.replay.add_trajectory(st.replay, *traj)
+        replay = self.replay.add_trajectory(st.replay, *traj,
+                                            aligned=True)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
                          noise=noise, rng=rng, env_steps=env_steps)

@@ -261,7 +261,8 @@ class DQN:
                 lambda o, t: self.act(q_tree, o, env_seed, t, eps),
                 st.env_state, st.obs,
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
-        replay = self.replay.add_trajectory(st.replay, *traj)
+        replay = self.replay.add_trajectory(st.replay, *traj,
+                                            aligned=True)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
                          rng=rng, env_steps=env_steps)

@@ -298,7 +298,8 @@ class NAF:
                 lambda o, t: self.act(p_tree, o, env_seed, t, sigma),
                 st.env_state, st.obs,
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
-        replay = self.replay.add_trajectory(st.replay, *traj)
+        replay = self.replay.add_trajectory(st.replay, *traj,
+                                            aligned=True)
         env_steps = st.env_steps + c.rollout_steps
         st = st._replace(replay=replay, env_state=env_state, obs=obs,
                          rng=rng, env_steps=env_steps)

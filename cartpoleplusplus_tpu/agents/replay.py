@@ -139,7 +139,7 @@ class ReplayBuffer:
         )
 
     def add_trajectory(self, rs: ReplayState, obs, action, reward,
-                       done) -> ReplayState:
+                       done, aligned: bool = False) -> ReplayState:
         """Insert a time-major rollout chunk: obs (T, B, obs_dim) etc.
 
         Fast path (the one that runs in practice): when the chunk length
@@ -152,6 +152,17 @@ class ReplayBuffer:
         double-buffer the whole ring: the round-1 28.5 ms/chunk
         bottleneck, and a full-ring HLO-temp copy that OOMed pixel
         replay at 512 envs).
+
+        aligned=True asserts the cursor-alignment invariant STATICALLY
+        (callers that only ever insert fixed-length chunks: the agents,
+        whose cursor starts at 0 and always advances by t). Round-4
+        motivation: the runtime `lax.cond` between fast and slow made
+        XLA materialize TWO full-ring copies at the cond boundary every
+        train step — ~4.5 ms/step on a 1.8 GB pixel ring, dwarfing the
+        actual insert (BASELINE.md round-4 decomposition). train.py
+        re-aligns the cursor at the restore boundary so a checkpoint
+        taken under a different rollout length cannot violate the
+        invariant.
         """
         t = obs.shape[0]
 
@@ -198,6 +209,8 @@ class ReplayBuffer:
                 filled=jnp.minimum(rs.filled + t, self.capacity),
             )
 
+        if aligned:
+            return fast(rs)
         return jax.lax.cond(rs.cursor % t == 0, fast, slow, rs)
 
     def sample_columns(self, rs: ReplayState, key, batch_size: int,

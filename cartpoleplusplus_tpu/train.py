@@ -23,6 +23,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import CartPole3D, CartPoleParams
@@ -291,6 +292,24 @@ def main(argv=None) -> int:
             # orbax's skip-older-steps save policy lines up).
             start_call = latest + 1
             print(f"resumed from step {latest}", file=sys.stderr)
+            # Replay-cursor alignment invariant: the agents insert only
+            # rollout_steps-length chunks from cursor 0, and
+            # add_trajectory(aligned=True) bakes that in statically
+            # (dropping a per-train-step lax.cond that cost two
+            # full-ring copies). A checkpoint written under a DIFFERENT
+            # rollout length is the one way to violate it — realign
+            # here (cursor floors to the chunk grid; the <=t-1 newest
+            # transitions get overwritten first, statistically nil).
+            rs = getattr(state, "replay", None)
+            if rs is not None and hasattr(rs, "cursor"):
+                t = agent.cfg.rollout_steps
+                cur = int(np.asarray(rs.cursor))
+                if cur % t != 0:
+                    state = state._replace(replay=rs._replace(
+                        cursor=jnp.int32((cur // t) * t)))
+                    print(f"realigned replay cursor {cur} -> "
+                          f"{(cur // t) * t} (rollout_steps={t})",
+                          file=sys.stderr)
 
     def run_eval(st, seed):
         """Deterministic-policy episode stats. Under --learner shardmap

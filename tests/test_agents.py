@@ -620,3 +620,36 @@ def test_presample_columns_any_batch_matches_sample_columns():
         want = jax.vmap(lambda k: buf.sample_columns(rs, k, bs))(keys)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_pixel_train_step_has_no_ring_copies():
+    """The compiled pixel train step must not materialize full-ring
+    copies (round-4: the cursor-alignment lax.cond in add_trajectory
+    made XLA copy the multi-GB uint8 ring twice per train step — fixed
+    by the agents asserting alignment statically via aligned=True).
+    Pins the HLO: any reappearing ring-shaped copy op is a throughput
+    regression of ~4.5 ms/step at production pixel scale."""
+    from cartpoleplusplus_tpu.agents import DDPG, DDPGConfig
+    from cartpoleplusplus_tpu.env import RenderConfig
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    rcfg = RenderConfig(width=24, height=24, grayscale=True,
+                        obs_uint8=True)
+    env = CartPole3D(continuous_params(), num_envs=16, obs_mode="pixels",
+                     render_config=rcfg)
+    for warmup in (0, 64):   # static bypass AND the gated-cond path
+        agent = DDPG(env, DDPGConfig(hidden=(32, 32), rollout_steps=8,
+                                     updates_per_step=4, batch_size=16,
+                                     replay_capacity_per_env=64,
+                                     warmup_env_steps=warmup))
+        st = agent.init(0)
+        txt = jax.jit(agent.train_step,
+                      donate_argnums=(0,)).lower(st).compile().as_text()
+        import numpy as _np
+        ring = f"u8[16,64,{int(_np.prod(agent.env.obs_shape))}]"
+        assert ring in txt, f"ring shape {ring} not found — update test"
+        copies = [ln for ln in txt.splitlines()
+                  if "copy(" in ln and ring in ln]
+        assert not copies, (
+            f"warmup={warmup}: {len(copies)} full-ring copy op(s) in the "
+            f"compiled train step: {copies[:2]}")
