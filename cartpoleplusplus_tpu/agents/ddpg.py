@@ -542,10 +542,31 @@ class DDPG:
             (env_state, obs, noise), traj = jax.lax.scan(
                 env_body, (st.env_state, st.obs, st.noise),
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
-        replay = self.replay.add_trajectory(st.replay, *traj,
-                                            aligned=True)
+        # Pixel (quantized) rings insert AFTER the update phase: the
+        # minibatch gather then reads the pre-insert ring and this
+        # step's DUS is the ring's LAST use, so XLA updates the
+        # multi-GB uint8 buffer in place — with insert-then-sample the
+        # gather kept the old ring value live and buffer assignment
+        # rewrote the full ring every train step (~5 ms/step at 512
+        # envs x 256 slots, 20% of e2e; round-4 hlo_stats trace,
+        # BASELINE.md). Cost: the freshest rollout_steps transitions
+        # enter the candidate set one step later (draw odds per row
+        # ~1/capacity — statistically nil; keep warmup_env_steps >=
+        # rollout_steps, the default, so the first gated-on update
+        # never sees the empty ring). State-obs rings keep the original
+        # order: their gather consumes the DUS output directly, which
+        # aliases fine, and the promoted recipes' batch streams stay
+        # bitwise unchanged.
+        late_insert = self.replay.quantize_obs
+
+        def insert(s):
+            return s._replace(replay=self.replay.add_trajectory(
+                s.replay, *traj, aligned=True))
+
+        if not late_insert:
+            st = insert(st)
         env_steps = st.env_steps + c.rollout_steps
-        st = st._replace(replay=replay, env_state=env_state, obs=obs,
+        st = st._replace(env_state=env_state, obs=obs,
                          noise=noise, rng=rng, env_steps=env_steps)
 
         ready = (True if c.warmup_env_steps <= 0
@@ -560,6 +581,8 @@ class DDPG:
                 presample=replay_presample(self.replay, c.sample,
                                            c.batch_size, self.num_shards,
                                            self.dist_axis))
+        if late_insert:
+            st = insert(st)
         if c.polyak_cadence == "per_step":
             # Compounded pull: K per-update polyaks at rate tau move the
             # target by 1-(1-tau)^K toward a FIXED online net; applying

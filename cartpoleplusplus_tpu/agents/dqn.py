@@ -261,10 +261,21 @@ class DQN:
                 lambda o, t: self.act(q_tree, o, env_seed, t, eps),
                 st.env_state, st.obs,
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
-        replay = self.replay.add_trajectory(st.replay, *traj,
-                                            aligned=True)
+        # Pixel (quantized) rings insert AFTER the update phase so the
+        # DUS is the ring's last use and XLA updates the multi-GB uint8
+        # buffer in place (see agents/ddpg.py for the rationale and the
+        # round-4 trace numbers). State-obs rings keep insert-first:
+        # their batch streams stay bitwise unchanged.
+        late_insert = self.replay.quantize_obs
+
+        def insert(s):
+            return s._replace(replay=self.replay.add_trajectory(
+                s.replay, *traj, aligned=True))
+
+        if not late_insert:
+            st = insert(st)
         env_steps = st.env_steps + c.rollout_steps
-        st = st._replace(replay=replay, env_state=env_state, obs=obs,
+        st = st._replace(env_state=env_state, obs=obs,
                          rng=rng, env_steps=env_steps)
         sampler = replay_sampler(self.replay, c.sample, c.batch_size,
                                  self.num_shards, self.dist_axis)
@@ -292,6 +303,8 @@ class DQN:
                 presample=replay_presample(self.replay, c.sample,
                                            c.batch_size, self.num_shards,
                                            self.dist_axis))
+        if late_insert:
+            st = insert(st)
 
         metrics_extra = {"traj": traj} if capture else {}
         reward_mean = jnp.mean(traj[2])

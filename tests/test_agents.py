@@ -650,6 +650,15 @@ def test_pixel_train_step_has_no_ring_copies():
         assert ring in txt, f"ring shape {ring} not found — update test"
         copies = [ln for ln in txt.splitlines()
                   if "copy(" in ln and ring in ln]
-        assert not copies, (
+        conds = [ln for ln in txt.splitlines()
+                 if "conditional(" in ln and ring in ln]
+        # The add_trajectory cursor-alignment cond used to route the
+        # ring through BOTH branches (4 copies incl. layout changes);
+        # CPU's conservative copy-insertion still emits <=2 same-layout
+        # defensive copies for the donated param (TPU aliases them —
+        # throughput A/B in BASELINE.md round 4), so pin: no ring-shaped
+        # conditional, and no more than 2 plain copies.
+        assert not conds, f"warmup={warmup}: ring routed through cond"
+        assert len(copies) <= 2, (
             f"warmup={warmup}: {len(copies)} full-ring copy op(s) in the "
-            f"compiled train step: {copies[:2]}")
+            f"compiled train step: {copies[:3]}")
