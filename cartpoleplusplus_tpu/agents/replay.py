@@ -300,13 +300,42 @@ class ReplayBuffer:
                    + jnp.arange(batch_size, dtype=jnp.int32)[None, :]) \
             % (k_cols * b)                          # (K, bs)
 
+        def fetch(buf, idx):
+            """(B, K*C, ...) columns from the ring, as one op or K*C
+            dynamic slices. jnp.take along the slot axis is the right
+            call for small (state) rings — one fused gather — but on
+            TPU it lowers to a windowed sweep of the ENTIRE source for
+            multi-GB pixel rings (round-4 hlo_stats: 5.2 ms/step
+            reading 1.8 GB to select 16 columns, the single largest
+            cost in pixel training). Unrolled dynamic slices read only
+            the selected columns (~6.9 MB each) at the cost of K*C
+            serial ops — the winning trade exactly when rows are fat,
+            which quantize_obs marks."""
+            if self.quantize_obs:
+                cols = [jax.lax.dynamic_slice_in_dim(buf, idx[i], 1,
+                                                     axis=1)
+                        for i in range(idx.shape[0])]
+                return jnp.concatenate(cols, 1)
+            return jnp.take(buf, idx, axis=1)
+
         def take(buf, idx):
             # (B, K*C, ...) -> (K, C*B, ...) in sample_columns's
             # concat order (column-major over envs within each update).
-            out = jnp.take(buf, idx, axis=1)
+            out = fetch(buf, idx)
             out = jnp.moveaxis(out, 1, 0)
             out = out.reshape((kk, k_cols * b) + buf.shape[2:])
-            if trim:
+            if trim and self.quantize_obs:
+                # Same wrap-around rows as the take_along_axis below,
+                # via 2 dynamic slices per update on the doubled row
+                # axis — the gather read the full K x column block
+                # (2 x 113 MB/step at the pixel preset shape) to emit
+                # the trimmed half.
+                rows = [jax.lax.dynamic_slice_in_dim(
+                    jnp.concatenate([out[k], out[k]], 0),
+                    offs[k], batch_size, axis=0)
+                    for k in range(kk)]
+                out = jnp.stack(rows, 0)
+            elif trim:
                 ridx = row_idx.reshape((kk, batch_size)
                                        + (1,) * (out.ndim - 2))
                 out = jnp.take_along_axis(out, ridx, axis=1)
