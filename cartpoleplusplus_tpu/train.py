@@ -76,7 +76,14 @@ _PRESETS = {
             "run": dict(num_envs=512, obs_mode="pixels",
                         render_grayscale=True, render_obs_uint8=True,
                         render_frame_diff=True, render_frame_diff_gain=4.0,
-                        total_env_steps=120_000),
+                        total_env_steps=120_000, steps_per_dispatch=16,
+                        # Weights-only saves: a full-state pixel ckpt
+                        # ships the multi-GB uint8 replay ring through
+                        # the (tunneled) host link per save — measured
+                        # 3.6k vs ~350k env-steps/s through this CLI
+                        # loop. Resume loses the ring (refills in
+                        # seconds); --eval-only restore is unaffected.
+                        ckpt_full=False),
             "agent": dict(actor_lr=3e-4, critic_lr=3e-4,
                           updates_per_step=16,
                           replay_capacity_per_env=256,
