@@ -78,6 +78,18 @@ class RunConfig:
     eval_steps: int = 400            # env-steps per eval run
     eval_render: str = ""            # with --eval-only: dump frames of env 0 here
     profile_dir: str = ""            # empty = no profiler trace
+    # Collapse-detection canary (round 4): at `canary_env_steps` per-env
+    # steps, run a deterministic eval; if mean episode length <
+    # `canary_min_eval`, RESTART training from a re-seeded init (seed +
+    # 1000 per attempt, up to `canary_max_restarts`). Motivation: the
+    # high-throughput cadences sit near a mediocre attractor that
+    # catches ~1 in 4 seeds (measured: every static knob that rescued
+    # one seed sank another — BASELINE.md round-4 sweep); a cheap early
+    # eval + random restart is the robust fix, and the canary fires at
+    # ~25% of budget so a restart costs little. 0 = off.
+    canary_env_steps: int = 0
+    canary_min_eval: float = 100.0
+    canary_max_restarts: int = 2
 
 
 def _flag(name: str) -> str:

@@ -59,8 +59,15 @@ _AGENTS = {
 _PRESETS = {
     "fast": {
         "ddpg": {
+            # Collapse canary (round 4): this cadence sits near a
+            # mediocre attractor that catches ~1 in 4 seeds, and every
+            # static knob that rescued one seed sank another (sigma
+            # decay/floor, warmup, critic lr, rollout length —
+            # BASELINE.md round-4 sweep). The deterministic eval at 25%
+            # of budget detects the attractor (collapsed runs plateau
+            # by ~10k steps) and restarts from a re-seeded init.
             "run": dict(num_envs=4096, total_env_steps=320_000,
-                        steps_per_dispatch=32),
+                        steps_per_dispatch=32, canary_env_steps=80_000),
             "agent": dict(rollout_steps=64, updates_per_step=8,
                           batch_size=8192, ou_sigma_decay_env_steps=64_000,
                           warmup_env_steps=0),
@@ -266,6 +273,18 @@ def main(argv=None) -> int:
         from .dist import shard_agent_state
         state = shard_agent_state(state, mesh)
 
+    def fresh_state(seed):
+        """Re-seeded init with the same layout/sharding pipeline the
+        startup state went through (canary restarts)."""
+        st = agent.init(seed)
+        if use_shardmap:
+            st = jax.jit(lambda s: local_agent.state_from_tree(
+                agent.state_to_tree(s)))(st)
+        if mesh is not None:
+            from .dist import shard_agent_state as _shard
+            st = _shard(st, mesh)
+        return st
+
     mgr = None
     start_call = 0
     # Checkpoints always hold the CANONICAL flax-tree layout; agents
@@ -457,6 +476,10 @@ def main(argv=None) -> int:
     scans = {}
     t0 = time.perf_counter()
     i = start_call
+    attempt = 0
+    canary_call = (None if run.canary_env_steps <= 0
+                   or start_call * steps_per_call >= run.canary_env_steps
+                   else -(-run.canary_env_steps // steps_per_call))
     # Off-thread metric logging: fetching the metric scalars
     # synchronizes with the device, and on the tunneled platform one
     # fetch costs a full round trip (~15-170 ms). With a log landing
@@ -529,6 +552,27 @@ def main(argv=None) -> int:
                              np.asarray(rew_t[:, :log_envs]),
                              np.asarray(done_t[:, :log_envs]))
         i += k
+        if (canary_call is not None and i >= canary_call
+                and attempt <= run.canary_max_restarts):
+            stats = run_eval(state, run.seed + 97)
+            mean_len = float(np.asarray(stats["mean_episode_length"]))
+            healthy = mean_len >= run.canary_min_eval
+            print(json.dumps({"canary_eval_mean": round(mean_len, 2),
+                              "canary_at_step": i,
+                              "attempt": attempt,
+                              "healthy": healthy}), flush=True)
+            if healthy or attempt == run.canary_max_restarts:
+                canary_call = None   # pass (or out of restarts): train on
+            else:
+                # Collapse detected: random-restart from a re-seeded
+                # init (the mediocre attractor is an init/exploration
+                # artifact — BASELINE.md round-4 sweep); budget clock
+                # and call index restart with the fresh attempt.
+                attempt += 1
+                state = fresh_state(run.seed + 1000 * attempt)
+                i = start_call
+                t0 = time.perf_counter()
+                continue
         if mgr is not None and any(mgr.should_save(j)
                                    for j in range(i - k, i)):
             # force: the window check above IS the cadence decision;

@@ -503,3 +503,35 @@ def test_eval_only_restores_across_lr_config(tmp_path):
             "--naf.warmup-env-steps", "0"]
     assert main(base + ["--naf.lr-decay-env-steps", "8"]) == 0
     assert main(base + ["--eval-only", "--eval-steps", "8"]) == 0
+
+
+def test_canary_restart_paths(capsys):
+    """Collapse-detection canary (RunConfig.canary_*): a healthy run
+    logs the canary eval and trains straight through; an (artificially)
+    always-failing threshold triggers the re-seeded restart, exhausts
+    canary_max_restarts, and the run still completes with a final
+    training state."""
+    base = ["--agent", "dqn", "--num-envs", "16", "--no-use-mesh",
+            "--total-env-steps", "128", "--eval-steps", "40",
+            "--canary-env-steps", "32", "--log-interval", "1000",
+            "--dqn.rollout-steps", "8", "--dqn.batch-size", "16",
+            "--dqn.updates-per-step", "1",
+            "--dqn.replay-capacity-per-env", "32",
+            "--dqn.warmup-env-steps", "0"]
+    rc = main(base + ["--canary-min-eval", "0.5"])   # any policy passes
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    canary = [l for l in lines if "canary_eval_mean" in l]
+    assert len(canary) == 1 and canary[0]["healthy"]
+    assert canary[0]["attempt"] == 0
+
+    rc = main(base + ["--canary-min-eval", "1e9",    # nothing passes
+                      "--canary-max-restarts", "1"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    canary = [l for l in lines if "canary_eval_mean" in l]
+    # attempt 0 fails -> restart; attempt 1 fails but is the last
+    # allowed, so training continues and finishes.
+    assert [c["attempt"] for c in canary] == [0, 1]
+    assert not any(c["healthy"] for c in canary)
+    assert lines[-1]["train_step"] == 128 // 8
