@@ -42,11 +42,12 @@ _AGENTS = {
 
 # Named presets: measured recipes from BASELINE.md, applied to unset
 # fields only (explicitly-typed flags always override preset fields).
-# - fast (ddpg): the round-3 fast-and-good sweep — ~50M env-steps/s
-#   sustained through this CLI loop with deterministic eval >=178 on
-#   3 of 4 seeds (one seed collapses at this cadence; quality-critical
-#   runs keep the agent defaults, which solve to the 200 cap at 1024
-#   envs).
+# - fast (ddpg): the round-3 fast-and-good sweep + round-4
+#   verify-and-retry — ~40-55M env-steps/s sustained through this CLI
+#   loop; final deterministic eval 198.7/188.6/178.6/186.9 across seeds
+#   0-3 (4/4 >= 150; the end-of-budget canary re-seeds and re-trains a
+#   collapsed attempt — seed 1 passed on its second retry). Quality-
+#   critical runs keep the agent defaults (200.0/200 at 1024 envs).
 # - fast (lrpg): the round-3 kernel-learner solve — 2048 envs, 120k
 #   per-env steps through the fused softmax-PG update kernel at dispatch
 #   16: eval mean episode length 200.0 / 200 at 89.5M env-steps/s
@@ -59,15 +60,20 @@ _AGENTS = {
 _PRESETS = {
     "fast": {
         "ddpg": {
-            # Collapse canary (round 4): this cadence sits near a
-            # mediocre attractor that catches ~1 in 4 seeds, and every
+            # Verify-and-retry (round 4): this cadence sits near a
+            # mediocre attractor that catches ~1 in 4 seeds; every
             # static knob that rescued one seed sank another (sigma
-            # decay/floor, warmup, critic lr, rollout length —
-            # BASELINE.md round-4 sweep). The deterministic eval at 25%
-            # of budget detects the attractor (collapsed runs plateau
-            # by ~10k steps) and restarts from a re-seeded init.
+            # decay/floor, warmup, critic lr, rollout length), and
+            # mid-run evals CANNOT separate the two — a healthy seed
+            # reads 84 at 50% budget and still finishes at 198.7
+            # (BASELINE.md round-4 sweep). So the canary fires at 100%
+            # of budget: eval; below 150 -> restart from a re-seeded
+            # init (one full re-train, ~25 s of compute). P(fail) ~
+            # 0.25 per attempt => ~98% of runs end >=150 within the
+            # default 2 restarts, and the final eval line stays honest.
             "run": dict(num_envs=4096, total_env_steps=320_000,
-                        steps_per_dispatch=32, canary_env_steps=80_000),
+                        steps_per_dispatch=32, canary_env_steps=320_000,
+                        canary_min_eval=150.0),
             "agent": dict(rollout_steps=64, updates_per_step=8,
                           batch_size=8192, ou_sigma_decay_env_steps=64_000,
                           warmup_env_steps=0),
