@@ -644,7 +644,7 @@ def bench_suite():
     import subprocess
 
     configs = os.environ.get(
-        "BENCH_SUITE_CONFIGS", "discrete,ddpg,dqn,naf,lrpg,pixels"
+        "BENCH_SUITE_CONFIGS", "discrete,ddpg,dqn,naf,lrpg,pixels,ddpg_pixels"
     ).split(",")
     per_timeout = float(os.environ.get("BENCH_SUITE_TIMEOUT", "900"))
     out = {"results": {}}
