@@ -118,6 +118,20 @@ def main():
     mask = np.asarray(norms) > 0
     slope = float(np.polyfit(np.log(n[mask]),
                              np.log(np.asarray(norms)[mask]), 1)[0])
+    # Localize: which param tensors carry the drift (relative to their
+    # own scale) — points at the defective op (LN eps? Cholesky head?
+    # a specific matmul's accumulation?).
+    per = []
+    for i, (a, b) in enumerate(zip(groups_k[0], groups[0])):
+        a, b = np.asarray(a), np.asarray(b)
+        gap_n = float(np.linalg.norm(a - b))
+        ref_n = float(np.linalg.norm(b)) or 1.0
+        per.append((gap_n / ref_n, i, tuple(a.shape), gap_n))
+    per.sort(reverse=True)
+    for rel, i, shape, gap_n in per[:6]:
+        print(json.dumps({"tensor": i, "shape": list(shape),
+                          "rel_gap": round(rel, 6),
+                          "gap_norm": round(gap_n, 6)}), flush=True)
     print(json.dumps({
         "growth_exponent": round(slope, 3),
         "interpretation": ("~1.0 = systematic drift (defect); "
