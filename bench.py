@@ -485,11 +485,13 @@ def bench_naf(num_envs: int, num_steps: int):
     updates = int(os.environ.get("BENCH_NAF_UPDATES", "8"))
     batch = int(os.environ.get("BENCH_NAF_BATCH", "8192"))
     learner = os.environ.get("BENCH_NAF_LEARNER", "auto")
+    precision = os.environ.get("BENCH_NAF_PRECISION", "") or None
     env = CartPole3D(continuous_params(), num_envs=num_envs)
     agent = NAF(env, NAFConfig(rollout_steps=rollout,
                                updates_per_step=updates,
                                batch_size=batch, warmup_env_steps=0,
-                               learner=learner))
+                               learner=learner,
+                               learner_precision=precision))
     rate, info = _time_train(agent, rollout, num_envs, num_steps)
     print(json.dumps({
         "metric": f"naf_train_env_steps_per_sec_{num_envs}envs",
@@ -499,6 +501,7 @@ def bench_naf(num_envs: int, num_steps: int):
     }))
     print(json.dumps({"rollout_steps": rollout, "updates_per_step": updates,
                       "batch_size": batch, "learner": learner,
+                      "learner_precision": precision,
                       "kernel_mode": agent.kernel_mode, **info}),
           file=sys.stderr)
 

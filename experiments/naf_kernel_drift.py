@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--k-updates", type=int, default=8)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--kernel-precision", default=None,
+                    help="in-kernel matmul precision (e.g. 'highest'); "
+                         "None = Mosaic default lowering")
+    ap.add_argument("--twin-precision", default=None,
+                    help="ambient matmul precision for the XLA twin")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -67,14 +72,22 @@ def main():
     interp = jax.default_backend() != "tpu"
     run_k = jax.jit(lk.naf_update_phase(
         hidden, obs_dim, K, B, lr=cfg.lr, gamma=cfg.gamma, tau=cfg.tau,
-        max_grad_norm=cfg.max_grad_norm, interpret=interp))
+        max_grad_norm=cfg.max_grad_norm, interpret=interp,
+        mm_precision=args.kernel_precision))
 
     mgn = cfg.max_grad_norm
+    twin_prec = args.twin_precision
 
     def run_twin(groups, batches, t0):
-        return lk.naf_update_phase_math(
-            *groups, batches, t0, hidden, lr=cfg.lr, gamma=cfg.gamma,
-            tau=cfg.tau, max_grad_norm=mgn, num_blocks=1)
+        def go():
+            return lk.naf_update_phase_math(
+                *groups, batches, t0, hidden, lr=cfg.lr,
+                gamma=cfg.gamma, tau=cfg.tau, max_grad_norm=mgn,
+                num_blocks=1)
+        if twin_prec is None:
+            return go()
+        with jax.default_matmul_precision(twin_prec):
+            return go()
 
     run_t = jax.jit(run_twin)
 
@@ -133,6 +146,8 @@ def main():
                           "rel_gap": round(rel, 6),
                           "gap_norm": round(gap_n, 6)}), flush=True)
     print(json.dumps({
+        "kernel_precision": args.kernel_precision,
+        "twin_precision": args.twin_precision,
         "growth_exponent": round(slope, 3),
         "interpretation": ("~1.0 = systematic drift (defect); "
                            "~0.5 = random walk (rounding)"),
