@@ -64,18 +64,27 @@ class NAFConfig:
     # the quadratic-advantage backward, clip_by_global_norm and the lr
     # schedule (ops/learner_kernel.py NAF section); kernel-mode states
     # keep params/target/Adam moments in the kernel's flat layout.
-    # Default is "xla" (unlike DDPG/DQN/LRPG): NAF's quadratic-
-    # advantage learner is stability-marginal at the solving recipes,
-    # and the kernel's ~1e-5 Adam rounding differences (hardware-
-    # measured per-update parity) are enough to flip long runs into the
-    # collapse basin — round-3 measurement: XLA reaches eval
-    # 199.2/199.9/198.7/178.7 across seeds & decay horizons, the kernel
-    # path 3.0/162/200/12/199.8/56 on the SAME configs (bitwise-
-    # reproducible). Set "kernel" explicitly for throughput-bound runs
-    # (+21-2.6x e2e, BASELINE.md) where eval quality is secondary.
+    # Default is "xla" (unlike DDPG/DQN/LRPG). Why, after the round-4
+    # root-cause (docs/design.md §16): NAF's solving recipes sit on a
+    # basin boundary where the CHOICE of matmul arithmetic reroutes
+    # whole runs — the XLA learner itself at ambient highest precision
+    # collapses cells that XLA-default solves (46.0 vs 199.2 at
+    # 80k/seed 0), and the kernel's default Mosaic dot lowering is a
+    # third arithmetic drawing the same lottery (its measured cells:
+    # 3.0-200). No implementation is defective (kernel@highest matches
+    # the XLA twin to 1.5e-6 over 128 updates); "xla" is simply the
+    # arithmetic whose measured default-recipe cells all solve. For
+    # throughput-bound runs set "kernel" (+56% e2e at the scan-16
+    # cadence, BASELINE.md round 4) and re-draw unlucky seeds with the
+    # end-of-budget canary (RunConfig.canary_*) — measured 4/4 >= 150
+    # through the CLI.
     learner: str = "xla"
     learner_block: int = 512         # kernel batch-block (VMEM budget)
-    learner_precision: str | None = None  # in-kernel matmul precision
+    # In-kernel matmul precision: None = Mosaic's default f32 dot
+    # lowering (fastest); "highest" = twin-faithful f32 arithmetic
+    # (kernel == XLA twin to ~1e-6/128 updates) at ~-38% kernel
+    # throughput — for numerics debugging, not a quality lever.
+    learner_precision: str | None = None
     # Linear lr decay to lr * lr_end_frac over a PER-ENV step horizon
     # (0 = constant) — same late-training-drift rationale as
     # DDPGConfig.lr_decay_env_steps; gradient-step keyed. Covered by
