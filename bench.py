@@ -647,13 +647,23 @@ def bench_suite():
     import subprocess
 
     configs = os.environ.get(
-        "BENCH_SUITE_CONFIGS", "discrete,ddpg,dqn,naf,lrpg,pixels,ddpg_pixels"
+        "BENCH_SUITE_CONFIGS",
+        "discrete,ddpg,dqn,naf,lrpg,pixels,ddpg_pixels,ddpg_pixels_4096"
     ).split(",")
+    # Suite aliases: a named BENCH_CONFIG plus baked env overrides —
+    # for measured sweet spots whose knobs are env vars (BASELINE.md
+    # round-4 pixel env-scaling row: 4096 envs / replay 32 is the peak
+    # at the fixed quality-validated 16x256 update cadence).
+    aliases = {"ddpg_pixels_4096": ("ddpg_pixels",
+                                    {"BENCH_NUM_ENVS": "4096",
+                                     "BENCH_NUM_STEPS": "1024",
+                                     "BENCH_PIX_REPLAY": "32"})}
     per_timeout = float(os.environ.get("BENCH_SUITE_TIMEOUT", "900"))
     out = {"results": {}}
     for cfg in configs:
         cfg = cfg.strip()
-        env = dict(os.environ, BENCH_CONFIG=cfg)
+        base, extra = aliases.get(cfg, (cfg, {}))
+        env = dict(os.environ, BENCH_CONFIG=base, **extra)
         env.pop("BENCH_SUITE", None)
         t0 = time.perf_counter()
         try:
