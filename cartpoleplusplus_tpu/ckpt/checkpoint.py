@@ -31,6 +31,23 @@ def _to_pytree(state, exclude=()):
     return state
 
 
+def _abstract_like(tree):
+    """Restore template: ShapeDtypeStructs carrying the TARGET's
+    shardings. to_shape_dtype_struct alone drops them, which makes
+    orbax fall back to the SAVE-time shardings — unresolvable when the
+    checkpoint was written on a different backend (a TPU-saved ckpt
+    restored in a CPU process dies in deserialization with "sharding
+    ... Got None"). Passing the target's sharding per leaf is what the
+    module docstring always promised: arrays land where the target
+    lives, making restores backend- and layout-portable."""
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return ocp.utils.to_shape_dtype_struct(x)
+    return jax.tree.map(leaf, tree)
+
+
 def _on_disk_fields(item_dir: str):
     """Top-level field names actually present in a saved checkpoint.
 
@@ -98,14 +115,16 @@ def restore_checkpoint(path: str, target, exclude: tuple = ()):
     on-disk checkpoint (a weights-only save) keep target's values;
     `exclude` drops further fields from the request regardless."""
     path = os.path.abspath(path)
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
-                            _to_pytree(target, exclude))
+    abstract = _abstract_like(_to_pytree(target, exclude))
     request, needs_partial = _reconcile(abstract, _on_disk_fields(path))
     if needs_partial:
         with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
             restored = ckptr.restore(
-                path, args=ocp.args.PyTreeRestore(item=request,
-                                                  partial_restore=True))
+                path, args=ocp.args.PyTreeRestore(
+                    item=request,
+                    restore_args=ocp.checkpoint_utils.
+                    construct_restore_args(request),
+                    partial_restore=True))
     else:
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(path, request)
@@ -164,8 +183,7 @@ class CheckpointManager:
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no checkpoint to restore")
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
-                                _to_pytree(target, self._exclude))
+        abstract = _abstract_like(_to_pytree(target, self._exclude))
         # Single-item CheckpointManager saves live under <dir>/<step>/default.
         item_dir = os.path.join(str(self._mgr.directory), str(step),
                                 "default")
@@ -175,8 +193,11 @@ class CheckpointManager:
                                             _on_disk_fields(item_dir))
         if needs_partial:
             restored = self._mgr.restore(
-                step, args=ocp.args.PyTreeRestore(item=request,
-                                                  partial_restore=True))
+                step, args=ocp.args.PyTreeRestore(
+                    item=request,
+                    restore_args=ocp.checkpoint_utils.
+                    construct_restore_args(request),
+                    partial_restore=True))
         else:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(request))

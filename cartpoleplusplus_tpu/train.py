@@ -313,11 +313,16 @@ def main(argv=None) -> int:
             # schedule changes the optax tree structure, so an eval
             # process built without the training run's lr flags could
             # not even restore it). Skip every *opt field + rng.
+            # ...and every env-shaped field: evaluation resets its own
+            # envs, and restoring (num_envs,)-shaped state would pin
+            # --eval-only to the training run's env count (a 4096-env
+            # checkpoint could not be evaluated in a 256-env process).
             st_fields = type(state)._fields
             exclude = tuple(set(exclude)
                             | {f for f in st_fields
                                if f.endswith("opt") or f == "opt"}
-                            | ({"rng"} if "rng" in st_fields else set()))
+                            | ({"rng", "env_state", "obs", "env_steps",
+                                "noise", "replay"} & set(st_fields)))
         mgr = CheckpointManager(
             run.ckpt_dir, save_interval_steps=run.ckpt_interval,
             exclude=exclude)

@@ -505,6 +505,32 @@ def test_eval_only_restores_across_lr_config(tmp_path):
     assert main(base + ["--eval-only", "--eval-steps", "8"]) == 0
 
 
+def test_eval_only_restores_across_env_count(tmp_path, capsys):
+    """--eval-only must restore checkpoints written under a DIFFERENT
+    env count: evaluation resets its own envs, so every env-shaped state
+    field (env_state, obs, noise, env_steps) is excluded from the
+    restore request — a 4096-env training checkpoint stays evaluable in
+    a small eval process (found on hardware, round 4: the 632k-config
+    pixel run's checkpoint). Also exercises the target-sharding restore
+    path (ckpt/checkpoint.py::_abstract_like + explicit restore_args),
+    which cross-backend restores require."""
+    d = tmp_path / "ck"
+    common = ["--agent", "ddpg", "--total-env-steps", "16",
+              "--log-interval", "100", "--ckpt-dir", str(d),
+              "--ddpg.hidden", "16", "16", "--ddpg.rollout-steps", "2",
+              "--ddpg.updates-per-step", "1", "--ddpg.batch-size", "16",
+              "--ddpg.replay-capacity-per-env", "8",
+              "--ddpg.warmup-env-steps", "0"]
+    assert main(common + ["--num-envs", "16"]) == 0
+    capsys.readouterr()
+    assert main(common + ["--num-envs", "4", "--eval-only",
+                          "--eval-steps", "64"]) == 0
+    out = capsys.readouterr()
+    stats = json.loads(out.out.strip())
+    assert stats["episodes"] > 0
+    assert "resumed" in out.err
+
+
 def test_canary_restart_paths(capsys):
     """Collapse-detection canary (RunConfig.canary_*): a healthy run
     logs the canary eval and trains straight through; an (artificially)
