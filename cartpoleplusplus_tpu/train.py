@@ -306,7 +306,17 @@ def main(argv=None) -> int:
                                 lambda s: s))
     if run.ckpt_dir:
         from .ckpt import CheckpointManager
-        exclude = () if run.ckpt_full else ("replay",)
+        # Weights-only saves (--no-ckpt-full) persist nets + optimizer +
+        # counters and skip EVERY env-shaped field, not just the replay
+        # ring: at 4096 pixel envs the (B, 48, 48, 6) obs alone is
+        # ~57 MB, and shipping it through the (tunneled) host link every
+        # save was measured as a 2x sustained-throughput tax on the
+        # 632k-config CLI loop (290k with saves vs 576-593k without,
+        # ~5.6 s/save at ckpt_interval=100). Env fields restore to fresh
+        # resets, which weights-only resume semantics already accept for
+        # the replay ring.
+        exclude = (() if run.ckpt_full
+                   else ("replay", "env_state", "obs", "noise"))
         if run.eval_only:
             # Deterministic eval needs only network weights; optimizer
             # state is both unnecessary and config-dependent (an lr
