@@ -83,6 +83,22 @@ _PRESETS = {
                         steps_per_dispatch=16),
             "agent": dict(learner="kernel"),
         },
+        "naf": {
+            # The round-4 kernel-learner recipe (BASELINE.md round-4
+            # learning table): the fused NAF update kernel is +56% over
+            # the XLA learner at the scan-16 cadence, and its default
+            # Mosaic dot lowering is a different matmul arithmetic —
+            # at NAF's basin-boundary recipes that redraws the
+            # seed lottery (docs/design.md §16), collapsing ~2/3 of
+            # draws. The end-of-budget canary re-seeds and re-trains
+            # collapsed attempts (a draw is ~40-60 s): measured 4/4
+            # seeds >= 150 (200.0/162.6/191.3/198.6) with restart
+            # budget 5.
+            "run": dict(num_envs=1024, total_env_steps=80_000,
+                        steps_per_dispatch=16, canary_env_steps=80_000,
+                        canary_min_eval=150.0, canary_max_restarts=5),
+            "agent": dict(learner="kernel"),
+        },
     },
     "pixels": {
         "ddpg": {

@@ -393,6 +393,41 @@ def test_preset_fast_merges_without_clobbering(tmp_path, capsys):
     assert agent.cfg.ou_sigma_decay_env_steps == 64_000
 
 
+def test_preset_fast_naf_merges_and_trains(capsys):
+    """--preset fast --agent naf lifts the round-4 kernel+canary recipe
+    (learner=kernel, end-of-budget canary with restart budget 5);
+    explicit flags still win, and a tiny end-to-end run through main()
+    exercises the kernel learner + canary path on CPU."""
+    from cartpoleplusplus_tpu.config import (RunConfig, explicit_dests,
+                                             from_args)
+    from cartpoleplusplus_tpu.train import _PRESETS, build, build_parser
+
+    argv = ["--agent", "naf", "--preset", "fast", "--num-envs", "16"]
+    args = build_parser().parse_args(argv)
+    provided = explicit_dests(build_parser(), argv)
+    run = from_args(RunConfig, args)
+    import dataclasses as dc
+    run = dc.replace(run, **{k: v
+                             for k, v in _PRESETS["fast"]["naf"]["run"].items()
+                             if k not in provided})
+    env, agent = build(run, args, provided)
+    assert run.num_envs == 16                      # explicit flag wins
+    assert run.total_env_steps == 80_000           # lifted
+    assert run.canary_env_steps == 80_000          # lifted
+    assert run.canary_max_restarts == 5            # lifted
+    assert agent.cfg.learner == "kernel"           # lifted
+    rc = main(["--agent", "naf", "--preset", "fast", "--num-envs", "16",
+               "--total-env-steps", "32", "--canary-env-steps", "32",
+               "--canary-min-eval", "0", "--log-interval", "100",
+               "--naf.hidden", "16", "16", "--naf.rollout-steps", "2",
+               "--naf.updates-per-step", "1", "--naf.batch-size", "16",
+               "--naf.replay-capacity-per-env", "8",
+               "--naf.warmup-env-steps", "0", "--final-eval"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"canary_eval_mean"' in out and '"eval_reward_mean"' in out
+
+
 def test_preset_fast_unknown_agent_errors(capsys):
     rc = main(["--agent", "dqn", "--preset", "fast",
                "--total-env-steps", "4"])
