@@ -145,3 +145,29 @@ def test_weights_only_restore_of_full_save(tmp_path):
     _assert_tree_equal(saved.critic, restored.critic)
     _assert_tree_equal(jax.tree.map(np.asarray, fresh.replay),
                        restored.replay)
+
+
+def test_cli_weights_only_excludes_env_fields(tmp_path):
+    """The train CLI's --no-ckpt-full saves persist nets + optimizer +
+    counters ONLY: every env-shaped field (replay, env_state, obs,
+    noise) stays off disk — at 4096 pixel envs the obs alone is ~57 MB
+    per save and was a measured 2.2x sustained-throughput tax on the
+    training loop (BASELINE.md round 4)."""
+    from cartpoleplusplus_tpu.train import main
+    d = tmp_path / "ck"
+    assert main(["--agent", "ddpg", "--num-envs", "8",
+                 "--total-env-steps", "8", "--log-interval", "100",
+                 "--ckpt-dir", str(d), "--no-ckpt-full",
+                 "--ddpg.hidden", "16", "16",
+                 "--ddpg.rollout-steps", "2",
+                 "--ddpg.updates-per-step", "1",
+                 "--ddpg.batch-size", "16",
+                 "--ddpg.replay-capacity-per-env", "8",
+                 "--ddpg.warmup-env-steps", "0"]) == 0
+    import orbax.checkpoint as ocp
+    steps = sorted(int(p.name) for p in d.iterdir() if p.name.isdigit())
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(str(d / str(steps[-1]) / "default"))
+    fields = set(meta.item_metadata.keys())
+    assert {"actor", "critic", "actor_opt", "env_steps"} <= fields
+    assert not ({"replay", "env_state", "obs", "noise"} & fields)
