@@ -44,6 +44,12 @@ def _abstract_like(tree):
         if isinstance(x, jax.Array):
             return jax.ShapeDtypeStruct(x.shape, x.dtype,
                                         sharding=x.sharding)
+        # Non-device leaves (numpy arrays / Python scalars in the target)
+        # carry no sharding, so construct_restore_args returns plain
+        # RestoreArgs for them and they restore HOST-side (numpy), not as
+        # sharded jax.Arrays. All current TrainState leaves are device
+        # arrays; this branch exists for host-side targets (tests, tools)
+        # and keeps their restore semantics host-side by design.
         return ocp.utils.to_shape_dtype_struct(x)
     return jax.tree.map(leaf, tree)
 

@@ -326,11 +326,11 @@ def main(argv=None) -> int:
         # counters and skip EVERY env-shaped field, not just the replay
         # ring: at 4096 pixel envs the (B, 48, 48, 6) obs alone is
         # ~57 MB, and shipping it through the (tunneled) host link every
-        # save was measured as a 2x sustained-throughput tax on the
-        # 632k-config CLI loop (290k with saves vs 576-593k without,
-        # ~5.6 s/save at ckpt_interval=100). Env fields restore to fresh
-        # resets, which weights-only resume semantics already accept for
-        # the replay ring.
+        # save was measured as a 2.2x sustained-throughput tax on the
+        # 632k-config CLI loop (266k with saves vs 576-593k without,
+        # ~5.6 s/save at ckpt_interval=100; 507k after this fix). Env
+        # fields restore to fresh resets, which weights-only resume
+        # semantics already accept for the replay ring.
         exclude = (() if run.ckpt_full
                    else ("replay", "env_state", "obs", "noise"))
         if run.eval_only:
@@ -343,6 +343,10 @@ def main(argv=None) -> int:
             # envs, and restoring (num_envs,)-shaped state would pin
             # --eval-only to the training run's env count (a 4096-env
             # checkpoint could not be evaluated in a 256-env process).
+            # env_steps (a scalar counter, not env-shaped) is excluded
+            # too: deterministic eval never reads the training-progress
+            # counter, and skipping it keeps the eval-restorable set
+            # minimal.
             st_fields = type(state)._fields
             exclude = tuple(set(exclude)
                             | {f for f in st_fields
