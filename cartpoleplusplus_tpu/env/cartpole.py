@@ -168,6 +168,9 @@ class CartPole3D:
         self.auto_reset = auto_reset
         self.render_config = (render_config if render_config is not None
                               else RenderConfig())
+        # Test hook: force the whole-obs render kernel (interpret mode)
+        # off-TPU so the kernel/XLA obs pipelines can be compared on CPU.
+        self._obs_kernel_interpret = False
 
     # --- spaces ------------------------------------------------------------
     @property
@@ -284,14 +287,40 @@ class CartPole3D:
             frame = pose_frame(self.params, phys)
         return stack_obs([frame] * self.params.action_repeats)
 
+    def _obs_kernel(self):
+        """The whole-obs render kernel for this env shape, or None.
+
+        ONE pallas_call renders every repeat x camera frame of the step
+        AND fuses the frame-diff encode + uint8 quantize + channel stack
+        (ops/render_kernel.py::pallas_render_obs) — on the XLA path those
+        are 2R pallas dispatches plus elementwise fusions re-reading
+        ~113 MB of f32 frame intermediates per env-step at 2048 envs
+        (round-4 trace, docs/design.md §15)."""
+        if self.obs_mode != "pixels":
+            return None
+        import os
+        if os.environ.get("CARTPOLE_OBS_KERNEL", "1") == "0":
+            return None   # A/B escape hatch: force the XLA obs pipeline
+        interp = self._obs_kernel_interpret
+        if not interp and jax.default_backend() != "tpu":
+            return None
+        from ..ops.render_kernel import obs_renderable, pallas_render_obs
+        if not obs_renderable(self.params, self.render_config,
+                              self.num_envs):
+            return None
+        return pallas_render_obs(self.params, self.render_config,
+                                 self.num_envs, interpret=interp)
+
     def step(self, state: EnvState, action):
         """One env-step: R action-repeats x S physics substeps, pose
         snapshot per repeat, termination, reward, masked auto-reset."""
         p = self.params
         force = _map_action(p, action)
         phys = state.phys
+        obs_kernel = self._obs_kernel()
 
         frames = []
+        snaps = []
         for r in range(p.action_repeats):
             if p.push_prob_per_repeat > 0.0:
                 push = push_randomness(p, state.env_seed, state.episode,
@@ -302,11 +331,16 @@ class CartPole3D:
             if self.obs_mode == "pose_stack":
                 frames.append(pose_frame(p, phys))
             elif self.obs_mode == "pixels":
-                # frame_diff needs FLOAT frames (diffs precede uint8
-                # quantization — _stack_diff_obs quantizes afterwards).
-                frames.append(self.render(phys)
-                              if self.render_config.frame_diff
-                              else self._obs_frame(phys))
+                if obs_kernel is not None:
+                    # Defer rendering: the fused obs kernel consumes the
+                    # R phys snapshots after the repeat loop.
+                    snaps.append(phys)
+                else:
+                    # frame_diff needs FLOAT frames (diffs precede uint8
+                    # quantization — _stack_diff_obs quantizes after).
+                    frames.append(self.render(phys)
+                                  if self.render_config.frame_diff
+                                  else self._obs_frame(phys))
 
         steps = state.steps + 1
         tilted, oob, too_long = _termination(p, phys, steps)
@@ -316,6 +350,8 @@ class CartPole3D:
 
         if self.obs_mode == "state":
             terminal_obs = state_obs(p, phys)
+        elif self.obs_mode == "pixels" and obs_kernel is not None:
+            terminal_obs = obs_kernel(snaps)
         elif self.obs_mode == "pixels" and self.render_config.frame_diff:
             terminal_obs = self._stack_diff_obs(frames)
         else:

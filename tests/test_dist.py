@@ -502,3 +502,100 @@ def test_shardmap_dqn_learns():
         f"sharded greedy {stats['mean_episode_length']:.1f} vs random "
         f"{rand['mean_episode_length']:.1f} — shard_map learner did not "
         "learn (collective / per-shard scaling regression?)")
+
+
+# --- pixels x distributed composition (VERDICT r4 item 3) -------------------
+#
+# Config 4 (pixels) and config 5 (sharded training) were never composed
+# before round 5: a sharded pixel train step exercises the quantized
+# shard-aligned ring, the render path (XLA twin on CPU; the fused obs
+# kernel on TPU is per-shard under shard_map) and the uint8 obs
+# stack under both the SPMD partitioner and shard_map bodies.
+
+def _pixel_cfg():
+    from cartpoleplusplus_tpu.env.pixels import RenderConfig
+    return RenderConfig(width=16, height=16, grayscale=True,
+                        obs_uint8=True, frame_diff=True,
+                        frame_diff_gain=4.0)
+
+
+def test_pixel_rollout_layout_independent():
+    """Pixel observations are bitwise identical on 1-device vs 8-device
+    meshes: rendering is a pure function of phys state, and per-env
+    randomness is keyed by global env index (CLAUDE.md invariant)."""
+    def checksum(mesh):
+        env = CartPole3D(CartPoleParams(), num_envs=16, obs_mode="pixels",
+                         render_config=_pixel_cfg())
+        state, _ = jax.jit(env.reset)(0)
+        state = shard_batch_tree(state, mesh)
+
+        def policy(obs, key):
+            return (jnp.arange(obs.shape[0], dtype=jnp.int32) % 5)
+
+        def run(state):
+            state, (obs, action, reward, done) = env.rollout(
+                state, policy, 8)
+            return (jnp.sum(obs.astype(jnp.int32), axis=(0, 2, 3, 4)),
+                    jnp.sum(reward, 0))
+
+        obs_sum, rew_sum = jax.jit(run)(state)
+        return np.asarray(obs_sum), np.asarray(rew_sum)
+
+    devs = jax.devices()
+    obs1, rew1 = checksum(make_mesh(devs[:1]))
+    obs8, rew8 = checksum(make_mesh(devs[:8]))
+    np.testing.assert_array_equal(rew1, rew8)
+    np.testing.assert_array_equal(obs1, obs8)
+
+
+def test_spmd_pixel_ddpg_train_step():
+    """Sharded pixel-DDPG under the SPMD partitioner: quantized ring +
+    render + conv learner all shard on the env axis; params replicate."""
+    mesh = make_mesh(jax.devices()[:8])
+    env = CartPole3D(continuous_params(), num_envs=64, obs_mode="pixels",
+                     render_config=_pixel_cfg())
+    agent = DDPG(env, DDPGConfig(hidden=(32, 32), rollout_steps=2,
+                                 updates_per_step=2, batch_size=32,
+                                 replay_capacity_per_env=8,
+                                 warmup_env_steps=0))
+    assert agent.replay.quantize_obs
+    state = shard_agent_state(agent.init(0), mesh)
+    assert state.obs.sharding.num_devices == 8
+    assert state.replay.obs.dtype == jnp.uint8
+    step = make_distributed_train_step(agent, mesh)
+    for _ in range(2):
+        state, metrics = step(state)
+    assert np.isfinite(float(metrics["critic_loss"]))
+    assert jax.tree.leaves(state.actor)[0].sharding.is_fully_replicated
+
+
+def test_shardmap_pixel_ddpg_train_step():
+    """Sharded pixel-DDPG through the shard_map learner (chip-local
+    quantized ring + render per shard, one gradient pmean): params stay
+    bitwise-replicated across shards, env/replay stay sharded."""
+    from cartpoleplusplus_tpu.dist import (DATA_AXIS,
+                                           make_shardmap_train_step)
+
+    n = 8
+    mesh = make_mesh(jax.devices()[:n])
+    params = continuous_params()
+    cfg = DDPGConfig(hidden=(32, 32), rollout_steps=2, updates_per_step=2,
+                     batch_size=32, replay_capacity_per_env=8,
+                     warmup_env_steps=0)
+    rcfg = _pixel_cfg()
+    env_g = CartPole3D(params, num_envs=8 * n, obs_mode="pixels",
+                       render_config=rcfg)
+    state = shard_agent_state(DDPG(env_g, cfg).init(0), mesh)
+    env_l = CartPole3D(params, num_envs=8, obs_mode="pixels",
+                       render_config=rcfg)
+    agent_l = DDPG(env_l, cfg, dist_axis=DATA_AXIS, num_shards=n)
+    step = make_shardmap_train_step(agent_l, mesh, state)
+    for _ in range(2):
+        state, metrics = step(state)
+    assert np.isfinite(float(metrics["critic_loss"]))
+    assert np.isfinite(float(metrics["reward_mean"]))
+    leaf = jax.tree.leaves(state.actor)[0]
+    shards = [np.asarray(leaf.addressable_data(i)) for i in range(n)]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
+    assert state.replay.obs.sharding.num_devices == n

@@ -303,3 +303,50 @@ def test_patch_encoder_shapes_and_training():
                 for a, b in zip(jax.tree.leaves(a0),
                                 jax.tree.leaves(st.actor)))
     assert moved, "patch-encoder train step left the actor unchanged"
+
+
+def test_obs_kernel_parity_interpret():
+    """The whole-obs render kernel (ops/render_kernel.py::
+    pallas_render_obs — every repeat x camera frame + frame-diff encode
+    + uint8 quantize of one env.step as ONE pallas_call) must match the
+    XLA obs pipeline through env.step: uint8 obs within one
+    quantization level, float obs to f32 fusion tolerance, and
+    reward/done streams bitwise (the kernel only changes how obs are
+    produced, never the physics)."""
+    from cartpoleplusplus_tpu.ops.render_kernel import obs_renderable
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    p = continuous_params()
+    for kw, tol in [
+        (dict(grayscale=True, obs_uint8=True, frame_diff=True,
+              frame_diff_gain=4.0), 1.0),       # the --preset pixels config
+        (dict(grayscale=False, obs_uint8=False), 3e-4),
+    ]:
+        rc = RenderConfig(width=16, height=16, **kw)
+        assert obs_renderable(p, rc, 8)
+        env_x = CartPole3D(p, num_envs=8, obs_mode="pixels",
+                           render_config=rc)
+        env_k = CartPole3D(p, num_envs=8, obs_mode="pixels",
+                           render_config=rc)
+        env_k._obs_kernel_interpret = True
+        assert env_k._obs_kernel() is not None \
+            and env_x._obs_kernel() is None  # CPU: XLA path by default
+        key = jax.random.PRNGKey(0)
+        st_x, obs_x = jax.jit(env_x.reset)(key)
+        st_k, obs_k = jax.jit(env_k.reset)(key)
+        step_x, step_k = jax.jit(env_x.step), jax.jit(env_k.step)
+        a = jnp.tile(jnp.array([[0.7, -0.4]]), (8, 1))
+        for _ in range(6):
+            st_x, obs_x, r_x, d_x, _ = step_x(st_x, a)
+            st_k, obs_k, r_k, d_k, _ = step_k(st_k, a)
+            assert obs_x.shape == obs_k.shape and obs_x.dtype == obs_k.dtype
+            np.testing.assert_allclose(
+                np.asarray(obs_k, np.float32), np.asarray(obs_x, np.float32),
+                atol=tol)
+            np.testing.assert_array_equal(np.asarray(d_k), np.asarray(d_x))
+            np.testing.assert_array_equal(np.asarray(r_k), np.asarray(r_x))
+
+    # Coverage gates: non-lane-aligned pixel counts and odd batches fall
+    # back to the XLA path.
+    assert not obs_renderable(p, RenderConfig(width=10, height=10), 8)
+    assert not obs_renderable(p, RenderConfig(width=16, height=16), 9)
