@@ -617,6 +617,7 @@ def bench_ddpg_pixels(num_envs: int, num_steps: int):
     pol = os.environ.get("BENCH_PIX_POLYAK", "per_update")
     agc = os.environ.get("BENCH_PIX_AGC", "updated")
     enc = os.environ.get("BENCH_PIX_ENCODER", "conv")
+    smp = os.environ.get("BENCH_PIX_SAMPLE", "column")
     rcfg = RenderConfig(dtype="bfloat16", grayscale=True, obs_uint8=True,
                         frame_diff=True, frame_diff_gain=4.0)
     env = CartPole3D(continuous_params(), num_envs=num_envs,
@@ -626,6 +627,7 @@ def bench_ddpg_pixels(num_envs: int, num_steps: int):
                                  batch_size=batch, warmup_env_steps=0,
                                  dtype=dtype, polyak_cadence=pol,
                                  actor_grad_critic=agc, encoder=enc,
+                                 sample=smp,
                                  replay_capacity_per_env=cap))
     rate, info = _time_train(agent, rollout, num_envs, num_steps)
     print(json.dumps({
@@ -638,7 +640,8 @@ def bench_ddpg_pixels(num_envs: int, num_steps: int):
                       "batch_size": batch, "dtype": dtype,
                       "replay_capacity_per_env": cap,
                       "polyak_cadence": pol, "actor_grad_critic": agc,
-                      "encoder": enc, "num_envs": num_envs,
+                      "encoder": enc, "sample": smp,
+                      "num_envs": num_envs,
                       "render": {"dtype": rcfg.dtype,
                                  "obs_uint8": rcfg.obs_uint8,
                                  "grayscale": rcfg.grayscale,

@@ -159,8 +159,9 @@ def replay_sampler(replay, sample_mode: str, batch_size: int,
                    num_shards: int, dist_axis, decode: bool = True):
     """Per-key minibatch draw fn(replay_state, key) -> batch, with the
     per-shard decorrelation fold applied under shard_map."""
-    sample_fn = (replay.sample_columns if sample_mode == "column"
-                 else replay.sample)
+    sample_fn = {"column": replay.sample_columns,
+                 "block": replay.sample_block}.get(sample_mode,
+                                                   replay.sample)
     bs = local_batch(batch_size, num_shards)
 
     def one(rs, key):
@@ -196,6 +197,9 @@ def replay_presample(replay, sample_mode: str, batch_size: int,
     if dist_axis is None:
         if sample_mode == "column":
             return lambda s, keys: replay.presample_columns(
+                s.replay, keys, bs, decode=decode)
+        if sample_mode == "block":
+            return lambda s, keys: replay.presample_block(
                 s.replay, keys, bs, decode=decode)
         if sample_mode == "uniform":
             return lambda s, keys: replay.presample_uniform(

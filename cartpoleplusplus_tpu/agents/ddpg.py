@@ -331,8 +331,9 @@ class DDPG:
         ONLY cross-chip traffic of the whole update)."""
         if self.dist_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(self.dist_axis))
-        sample_fn = (self.replay.sample_columns if self.cfg.sample == "column"
-                     else self.replay.sample)
+        sample_fn = {"column": self.replay.sample_columns,
+                     "block": self.replay.sample_block}.get(
+            self.cfg.sample, self.replay.sample)
         return sample_fn(replay, key, self.local_batch_size)
 
     def _update_once(self, st: DDPGState, batch) -> tuple[DDPGState, dict]:

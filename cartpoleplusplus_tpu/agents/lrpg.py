@@ -47,6 +47,8 @@ class LRPGConfig:
     learner: str = "auto"
     learner_block: int = 1024        # kernel row-block (VMEM budget)
     learner_precision: str | None = None  # in-kernel matmul precision
+    # Pixel-obs encoder ("conv" | "patch"), ignored for state obs.
+    encoder: str = "conv"
 
 
 class LRPGState(NamedTuple):
@@ -89,8 +91,18 @@ class LRPG:
         self.dist_axis = dist_axis
         self.num_shards = num_shards
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-        self.net = PolicyMLP(num_actions=env.num_actions,
-                             hidden=config.hidden, dtype=dtype)
+        if env.obs_mode == "pixels":
+            # Pixel-observation LRPG: conv stack in front of the softmax
+            # policy (the reference's shared conv helpers fed every
+            # trainer's graph — SURVEY.md §2a). On-policy: the rollout
+            # window holds the uint8 frames directly, no replay ring.
+            from ..models import VisualPolicy
+            self.net = VisualPolicy(num_actions=env.num_actions,
+                                    hidden=config.hidden, dtype=dtype,
+                                    encoder=config.encoder)
+        else:
+            self.net = PolicyMLP(num_actions=env.num_actions,
+                                 hidden=config.hidden, dtype=dtype)
         self.tx = optax.adam(config.lr)
         if config.learner == "kernel":
             if not self.kernel_learner_ok():

@@ -92,6 +92,10 @@ class NAFConfig:
     # from its Adam step count — ops/learner_kernel.py::_sched_lr).
     lr_decay_env_steps: int = 40000
     lr_end_frac: float = 0.1
+    # Pixel-obs encoder ("conv" | "patch"), ignored for state obs — the
+    # reference attempted conv-NAF (SURVEY.md §2a NAF row); frames are
+    # replayed quantized to uint8 like pixel-DDPG.
+    encoder: str = "conv"
 
 
 class NAFState(NamedTuple):
@@ -119,12 +123,20 @@ class NAF:
         self.dist_axis = dist_axis
         self.num_shards = num_shards
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-        self.net = NafNet(action_dim=env.action_dim, hidden=config.hidden,
-                          dtype=dtype)
+        pixels = env.obs_mode == "pixels"
+        if pixels:
+            from ..models import VisualNafNet
+            self.net = VisualNafNet(action_dim=env.action_dim,
+                                    hidden=config.hidden, dtype=dtype,
+                                    encoder=config.encoder)
+        else:
+            self.net = NafNet(action_dim=env.action_dim,
+                              hidden=config.hidden, dtype=dtype)
         self.replay = ReplayBuffer(
             num_envs=env.num_envs,
             capacity_per_env=config.replay_capacity_per_env,
-            obs_dim=env.obs_size, action_dim=env.action_dim, discrete=False)
+            obs_shape=env.obs_shape, quantize_obs=pixels,
+            action_dim=env.action_dim, discrete=False)
         lr = config.lr
         if config.lr_decay_env_steps > 0:
             lr = optax.linear_schedule(
@@ -307,10 +319,17 @@ class NAF:
                 lambda o, t: self.act(p_tree, o, env_seed, t, sigma),
                 st.env_state, st.obs,
                 st.env_steps + jnp.arange(c.rollout_steps, dtype=jnp.int32))
-        replay = self.replay.add_trajectory(st.replay, *traj,
-                                            aligned=True)
+        # Pixel (quantized) rings insert AFTER the update phase so the
+        # DUS is the ring's last use and XLA updates the multi-GB uint8
+        # buffer in place (see agents/ddpg.py for rationale + trace
+        # numbers); state rings keep insert-first (bitwise-unchanged
+        # batch streams for the promoted recipes).
+        late_insert = self.replay.quantize_obs
+        if not late_insert:
+            st = st._replace(replay=self.replay.add_trajectory(
+                st.replay, *traj, aligned=True))
         env_steps = st.env_steps + c.rollout_steps
-        st = st._replace(replay=replay, env_state=env_state, obs=obs,
+        st = st._replace(env_state=env_state, obs=obs,
                          rng=rng, env_steps=env_steps)
 
         def upd_body(s, batch):
@@ -334,6 +353,9 @@ class NAF:
                 presample=replay_presample(self.replay, c.sample,
                                            c.batch_size, self.num_shards,
                                            self.dist_axis))
+        if late_insert:
+            st = st._replace(replay=self.replay.add_trajectory(
+                st.replay, *traj, aligned=True))
 
         metrics_extra = {"traj": traj} if capture else {}
         reward_mean = jnp.mean(traj[2])

@@ -288,28 +288,39 @@ class CartPole3D:
         return stack_obs([frame] * self.params.action_repeats)
 
     def _obs_kernel(self):
-        """The whole-obs render kernel for this env shape, or None.
+        """The batched-repeat frames kernel for this env shape, or None.
 
-        ONE pallas_call renders every repeat x camera frame of the step
-        AND fuses the frame-diff encode + uint8 quantize + channel stack
-        (ops/render_kernel.py::pallas_render_obs) — on the XLA path those
-        are 2R pallas dispatches plus elementwise fusions re-reading
-        ~113 MB of f32 frame intermediates per env-step at 2048 envs
-        (round-4 trace, docs/design.md §15)."""
+        All R repeat frames render per camera in ONE pallas_call
+        (repeats stacked as virtual envs — ops/render_kernel.py::
+        pallas_render_frames), replacing the 2R dispatches of the
+        per-repeat render loop; the frame-diff/quantize/stack epilogue
+        reuses this class's existing assembly code on the returned
+        frames, so the obs stream is the XLA pipeline's by
+        construction."""
         if self.obs_mode != "pixels":
             return None
         import os
-        if os.environ.get("CARTPOLE_OBS_KERNEL", "1") == "0":
-            return None   # A/B escape hatch: force the XLA obs pipeline
+        # OFF by default: the dispatch merge was a measured NEGATIVE on
+        # hardware (three designs, all ~10% below the per-repeat render
+        # loop at the 570k config — the XLA epilogue loses the fusion/
+        # layout choices it makes around the interleaved renders;
+        # BASELINE.md round-5, docs/design.md §17). Kept as an opt-in
+        # (CARTPOLE_OBS_KERNEL=1) and for the interpret-mode parity
+        # tests that pin the kernel as a correct twin.
+        if os.environ.get("CARTPOLE_OBS_KERNEL", "0") != "1":
+            interp_only = self._obs_kernel_interpret
+            if not interp_only:
+                return None
         interp = self._obs_kernel_interpret
         if not interp and jax.default_backend() != "tpu":
             return None
-        from ..ops.render_kernel import obs_renderable, pallas_render_obs
+        from ..ops.render_kernel import (obs_renderable,
+                                         pallas_render_frames)
         if not obs_renderable(self.params, self.render_config,
                               self.num_envs):
             return None
-        return pallas_render_obs(self.params, self.render_config,
-                                 self.num_envs, interpret=interp)
+        return pallas_render_frames(self.params, self.render_config,
+                                    self.num_envs, interpret=interp)
 
     def step(self, state: EnvState, action):
         """One env-step: R action-repeats x S physics substeps, pose
@@ -342,6 +353,16 @@ class CartPole3D:
                                   if self.render_config.frame_diff
                                   else self._obs_frame(phys))
 
+        if self.obs_mode == "pixels" and obs_kernel is not None:
+            # Kernel-rendered float frames feed the SAME assembly code
+            # as the per-repeat loop (quantize here for the raw-stack
+            # path — _stack_diff_obs quantizes after differencing).
+            frames = obs_kernel(snaps)
+            if (self.render_config.obs_uint8
+                    and not self.render_config.frame_diff):
+                frames = [jnp.clip(f * 255.0 + 0.5, 0.0, 255.0).astype(
+                    jnp.uint8) for f in frames]
+
         steps = state.steps + 1
         tilted, oob, too_long = _termination(p, phys, steps)
         done_physical = tilted | oob
@@ -350,8 +371,6 @@ class CartPole3D:
 
         if self.obs_mode == "state":
             terminal_obs = state_obs(p, phys)
-        elif self.obs_mode == "pixels" and obs_kernel is not None:
-            terminal_obs = obs_kernel(snaps)
         elif self.obs_mode == "pixels" and self.render_config.frame_diff:
             terminal_obs = self._stack_diff_obs(frames)
         else:

@@ -21,6 +21,8 @@ from .nets import (
     PolicyMLP,
     QNetMLP,
     VisualActor,
+    VisualNafNet,
+    VisualPolicy,
     VisualCritic,
     VisualQNet,
     polyak,
@@ -35,6 +37,8 @@ __all__ = [
     "PolicyMLP",
     "QNetMLP",
     "VisualActor",
+    "VisualNafNet",
+    "VisualPolicy",
     "VisualCritic",
     "VisualQNet",
     "polyak",

@@ -199,6 +199,43 @@ class VisualQNet(nn.Module):
         return QNetMLP(self.num_actions, self.hidden, self.dtype)(x)
 
 
+class VisualNafNet(nn.Module):
+    """PixelEncoder + NafNet: quadratic-advantage Q from raw frames.
+
+    Reference counterpart: the reference attempted conv-NAF — its shared
+    conv stack (`base_network.py`) fed `naf_cartpole.py`'s heads for the
+    pixel-observation variant (SURVEY.md §2a NAF row). Same contract as
+    NafNet: returns (v, mu) without an action, (q, mu, v) with one."""
+
+    action_dim: int = 2
+    hidden: Sequence[int] = (256, 256)
+    features: Sequence[int] = (16, 32, 32)
+    dtype: jnp.dtype = jnp.float32
+    encoder: str = "conv"
+
+    @nn.compact
+    def __call__(self, img, action=None):
+        x = _encoder(self.encoder, self.features, self.dtype)(img)
+        return NafNet(self.action_dim, self.hidden, self.dtype)(x, action)
+
+
+class VisualPolicy(nn.Module):
+    """PixelEncoder + PolicyMLP: softmax policy logits from raw frames
+    (pixel-observation LRPG — the reference's conv stack in front of the
+    softmax policy graph)."""
+
+    num_actions: int = 5
+    hidden: Sequence[int] = (64, 64)
+    features: Sequence[int] = (16, 32, 32)
+    dtype: jnp.dtype = jnp.float32
+    encoder: str = "conv"
+
+    @nn.compact
+    def __call__(self, img):
+        x = _encoder(self.encoder, self.features, self.dtype)(img)
+        return PolicyMLP(self.num_actions, self.hidden, self.dtype)(x)
+
+
 class PixelEncoder(nn.Module):
     """Small conv stack for pixel observations -> flat features.
 

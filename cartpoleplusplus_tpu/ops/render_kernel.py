@@ -126,160 +126,57 @@ def pallas_render_all(p: CartPoleParams, cfg: RenderConfig, num_envs: int,
 
 
 # ---------------------------------------------------------------------------
-# Whole-observation render kernel: every repeat x camera frame of one
-# env.step, plus the frame-diff encode and uint8 quantization, in ONE
-# pallas_call.
+# Batched-repeat frames kernel: all R repeat frames of one env.step per
+# camera in ONE pallas_call, repeats stacked as virtual envs.
 #
 # Round-4 trace at the 570k pixel-DDPG config (docs/design.md §15): the
-# 48 per-camera-per-repeat render calls cost 10.2 ms of the ~29 ms
-# device-busy train call, and the obs-assembly elementwise downstream
-# (frame stack, diff encode, quantize) re-reads the ~113 MB of f32
-# frame intermediates the render kernels wrote per env-step — together
-# the largest cost block of config 4's training path. This kernel
-# renders all R repeats (their phys snapshots arrive as 6R env-state
-# columns) for all cameras (ray/static rows concatenated on the pixel
-# axis — shade_components broadcasts eye rows natively), computes the
-# frame-diff planes and the uint8 quantization IN VMEM, and writes only
-# the final (B, H*W) obs planes: the f32 frame intermediates never
-# touch HBM, and 6 pallas dispatches + a dozen elementwise fusions per
-# env-step collapse to one call.
-#
-# Quantization matches the XLA twin bitwise: clip(v*255+0.5, 0, 255)
-# then truncate — Mosaic rejects a direct f32->u8 cast but the
-# f32->i32->u8 chain truncates identically (probed on hardware).
+# 48 per-camera-per-repeat render dispatches cost 10.2 ms of the ~29 ms
+# device-busy train call. Two rejected designs measured this round
+# (BASELINE.md round-5): (a) one mega-kernel computing all 3 repeats x
+# 2 cameras + frame-diff + uint8 quantize in-body ran the raycast 40%
+# SLOWER per pixel (14.2 vs 10.2 ms/call — 3 concurrent shade
+# pipelines at doubled pixel width overflow Mosaic's vector budget),
+# and (b) in-kernel f32->i32->u8 stores cost ~+4 ms/call (byte-tile
+# sublane packing). This design keeps the per-grid-step body EXACTLY
+# the proven single-camera shade (npx = H*W) and batches the R repeat
+# snapshots on the ENV axis instead: same total VPU work, 2R-fold
+# fewer dispatches (6 -> 2 per env-step at R=3), zero body growth.
+# The frame-diff / quantize / stack epilogue stays in XLA, where it
+# fuses with the auto-reset select (env/cartpole.py reuses its
+# existing assembly code on the returned frames — parity by
+# construction).
 # ---------------------------------------------------------------------------
 
 
 def obs_renderable(p: CartPoleParams, cfg: RenderConfig,
                    num_envs: int) -> bool:
-    """Kernel coverage for the whole-obs render: per-camera pixel count
-    lane-aligned (the in-kernel camera slices must land on lane
-    boundaries), sublane-aligned batch."""
-    return (cfg.width * cfg.height) % 128 == 0 and \
-        num_envs % _ENV_BLOCK == 0
+    """Kernel coverage for the batched-repeat frames render."""
+    return renderable(cfg, num_envs * p.action_repeats)
 
 
-def _render_obs_kernel(p: CartPoleParams, cfg: RenderConfig, dt, gray,
-                       repeats, ncam, *refs):
-    """One env block: 6R env-state columns (R repeat snapshots), eye/
-    ray/static rows (cameras concat on the pixel axis), out the final
-    per-(slot, camera, channel) obs planes — frame-diff-encoded and
-    quantized per RenderConfig."""
-    import numpy as np
-
-    f = np.float32
-    nch = 1 if gray else 3
-    n_out = repeats * ncam * nch
-    ins, outs = refs[:len(refs) - n_out], refs[len(refs) - n_out:]
-    ncols = 6 * repeats
-    cols = [ref[:].astype(dt) for ref in ins[:ncols]]
-    eye = tuple(ref[:].astype(dt) for ref in ins[ncols:ncols + 3])
-    rays = [ref[:].astype(dt) for ref in ins[ncols + 3:ncols + 9]]
-    static = tuple(ref[:].astype(dt) for ref in ins[ncols + 9:])
-    hw = cfg.width * cfg.height
-
-    frames = []   # per repeat: tuple of nch (be, ncam*hw) planes
-    for r in range(repeats):
-        frames.append(_px.shade_components(
-            p, cfg, eye, *rays, static, *cols[6 * r:6 * r + 6], gray=gray))
-    if cfg.frame_diff:
-        # [latest, encoded consecutive diffs] — the twin of
-        # env/cartpole.py::_stack_diff_obs, computed before quantization.
-        g = f(0.5 * cfg.frame_diff_gain)
-        slots = [frames[-1]]
-        for a, b in zip(frames[:-1], frames[1:]):
-            slots.append(tuple(
-                jnp.clip(g * (pb - pa) + f(0.5), f(0.0), f(1.0))
-                for pa, pb in zip(a, b)))
-    else:
-        slots = frames
-
-    i = 0
-    for planes in slots:
-        for cam in range(ncam):
-            for ch in range(nch):
-                v = planes[ch][:, cam * hw:(cam + 1) * hw].astype(
-                    jnp.float32)
-                if cfg.obs_uint8:
-                    q = jnp.clip(v * f(255.0) + f(0.5), f(0.0), f(255.0))
-                    outs[i][:] = q.astype(jnp.int32).astype(jnp.uint8)
-                else:
-                    outs[i][:] = v
-                i += 1
-
-
-def pallas_render_obs(p: CartPoleParams, cfg: RenderConfig, num_envs: int,
-                      interpret: bool = False):
-    """Builder: fn([phys_repeat_0, ..., phys_repeat_{R-1}]) -> the final
-    (B, H, W, C) observation of one env.step (C = channels x cameras x
-    repeats, uint8 when cfg.obs_uint8) — numerically the
-    render/_stack_diff_obs/stack_obs XLA pipeline of env/cartpole.py,
-    executed as one VMEM pass."""
-    import numpy as np
-
-    if not obs_renderable(p, cfg, num_envs):
-        raise ValueError("shape not coverable by the obs render kernel")
+def pallas_render_frames(p: CartPoleParams, cfg: RenderConfig,
+                         num_envs: int, interpret: bool = False):
+    """Builder: fn([phys_repeat_0, ..., phys_repeat_{R-1}]) -> list of R
+    frames, each (B, H, W, channels*cameras) f32 in [0, 1] — exactly
+    what env/cartpole.py's repeat loop produced with R*cameras separate
+    render calls, in `cameras` calls total."""
     repeats = p.action_repeats
-    ncam = len(cfg.cameras)
-    gray = cfg.grayscale
-    nch = 1 if gray else 3
-    hw = cfg.width * cfg.height
-    npx = ncam * hw
-    b, be = num_envs, _ENV_BLOCK
-    dt = jnp.float32   # see pallas_render: in-kernel compute stays f32
-
-    eyes, drows, irows, statics = [], [], [], []
-    for cam in cfg.cameras:
-        eye, dcomp, icomp = ray_constants_np(cam, cfg.width, cfg.height)
-        eyes.append(eye)
-        drows.append(dcomp)
-        irows.append(icomp)
-        rows_np, _ = _px.static_rows_np(cam, cfg, gray)
-        statics.append(rows_np)
-    eye_rows = [np.concatenate(
-        [np.full((1, hw), e[i], np.float32) for e in eyes], axis=1)
-        for i in range(3)]
-    ray_rows = ([np.concatenate([d[i] for d in drows], axis=1)
-                 for i in range(3)]
-                + [np.concatenate([ic[i] for ic in irows], axis=1)
-                   for i in range(3)])
-    nstatic = len(statics[0])
-    static_rows = [np.concatenate([s[j] for s in statics], axis=1)
-                   for j in range(nstatic)]
-
-    odtype = jnp.uint8 if cfg.obs_uint8 else jnp.float32
-    n_out = repeats * ncam * nch
-    kernel = functools.partial(_render_obs_kernel, p, cfg, dt, gray,
-                               repeats, ncam)
-    env_col = pl.BlockSpec((be, 1), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, npx), lambda i: (0, 0),
-                       memory_space=pltpu.VMEM)
-    out_rows = pl.BlockSpec((be, hw), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kernel,
-        grid=(b // be,),
-        out_shape=(jax.ShapeDtypeStruct((b, hw), odtype),) * n_out,
-        in_specs=[env_col] * (6 * repeats) + [row] * (9 + nstatic),
-        out_specs=(out_rows,) * n_out,
-        interpret=interpret,
-    )
-    const_rows = [jnp.asarray(r) for r in eye_rows + ray_rows + static_rows]
+    b = num_envs
+    rb = repeats * b
+    if not obs_renderable(p, cfg, num_envs):
+        raise ValueError("shape not coverable by the frames render kernel")
+    cam_fns = [pallas_render(p, cfg, cam, rb, interpret=interpret)
+               for cam in cfg.cameras]
 
     def run(phys_list):
         if len(phys_list) != repeats:
             raise ValueError(f"need {repeats} repeat snapshots, got "
                              f"{len(phys_list)}")
-        args = []
-        for ph in phys_list:
-            sx, sy = ph.s[..., 0], ph.s[..., 1]
-            w = pole_w(p, sx, sy)
-            for c in (ph.pos[..., 0], ph.pos[..., 1], ph.pos[..., 2],
-                      sx, sy, w):
-                args.append(c.astype(jnp.float32)[:, None])
-        planes = call(*args, *const_rows)
-        return jnp.stack(planes, axis=-1).reshape(
-            b, cfg.height, cfg.width, n_out)
+        stacked = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+                               *phys_list)
+        views = [fn(stacked) for fn in cam_fns]       # (RB, H, W, nch)
+        return [jnp.concatenate([v[r * b:(r + 1) * b] for v in views],
+                                axis=-1)
+                for r in range(repeats)]              # R x (B, H, W, nch*nc)
 
     return run

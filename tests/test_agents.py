@@ -689,3 +689,47 @@ def test_presample_columns_pixel_slices_match_sample_columns():
         want = jax.vmap(lambda k: buf.sample_columns(rs, k, bs))(keys)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_block_sampling_semantics_and_presample_bitwise():
+    """Block sampling (round 5 — the pixel-preset fetch-traffic fix):
+    (a) every sampled row is a REAL transition — (obs, next_obs) are
+    chronologically adjacent inserts of the same env and the env block
+    is aligned; (b) presample_block is bitwise vmap(sample_block);
+    (c) batch sizes that do not divide num_envs are rejected."""
+    import pytest as _pytest
+
+    rb = ReplayBuffer(num_envs=16, capacity_per_env=8, obs_dim=2,
+                      action_dim=2, discrete=False)
+    rs = rb.init()
+    add = jax.jit(rb.add)
+    # obs encodes (env, insert index) so adjacency is checkable.
+    for t in range(13):   # wraps the 8-slot ring
+        obs = jnp.stack([jnp.arange(16, dtype=jnp.float32),
+                         jnp.full((16,), t, jnp.float32)], -1)
+        rs = add(rs, obs, jnp.zeros((16, 2)),
+                 jnp.full((16,), t, jnp.float32),
+                 jnp.zeros((16,), bool))
+    for key in [jax.random.PRNGKey(i) for i in range(5)]:
+        obs, action, reward, next_obs, done = jax.jit(
+            lambda r, k: rb.sample_block(r, k, 4))(rs, key)
+        envs = np.asarray(obs[:, 0])
+        # Aligned contiguous env block.
+        assert envs[0] % 4 == 0
+        np.testing.assert_array_equal(envs, envs[0] + np.arange(4))
+        # next_obs is the chronologically NEXT insert of the same env.
+        np.testing.assert_array_equal(np.asarray(next_obs[:, 0]), envs)
+        np.testing.assert_array_equal(np.asarray(next_obs[:, 1]),
+                                      np.asarray(obs[:, 1]) + 1)
+        np.testing.assert_array_equal(np.asarray(reward),
+                                      np.asarray(obs[:, 1]))
+    keys = jax.random.split(jax.random.PRNGKey(3), 6)
+    fast = jax.jit(lambda r, k: rb.presample_block(r, k, 8))(rs, keys)
+    slow = jax.jit(jax.vmap(lambda r, k: rb.sample_block(r, k, 8),
+                            in_axes=(None, 0)))(rs, keys)
+    for f, s in zip(fast, slow):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(s))
+    with _pytest.raises(ValueError):
+        rb.sample_block(rs, jax.random.PRNGKey(0), 5)
+    with _pytest.raises(ValueError):
+        rb.presample_block(rs, keys, 32)  # batch > num_envs
