@@ -109,6 +109,10 @@ class DDPGConfig:
     # the measured pixel-training throughput winner, models/nets.py::
     # PatchEncoder). Ignored for state observations.
     encoder: str = "conv"
+    # Conv-encoder channel widths (pixel obs only) — the capacity lever
+    # for the round-5 >=198 quality push; (16, 32, 32) is the
+    # reference-shaped default.
+    conv_features: tuple = (16, 32, 32)
 
 
 class DDPGState(NamedTuple):
@@ -150,9 +154,13 @@ class DDPG:
             # (BASELINE config 4); frames replayed quantized to uint8.
             self.actor_net = VisualActor(action_dim=env.action_dim,
                                          hidden=config.hidden, dtype=dtype,
-                                         encoder=config.encoder)
+                                         encoder=config.encoder,
+                                         features=tuple(
+                                             config.conv_features))
             self.critic_net = VisualCritic(hidden=config.hidden, dtype=dtype,
-                                           encoder=config.encoder)
+                                           encoder=config.encoder,
+                                           features=tuple(
+                                               config.conv_features))
         else:
             self.actor_net = ActorMLP(action_dim=env.action_dim,
                                       hidden=config.hidden, dtype=dtype)

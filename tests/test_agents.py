@@ -278,6 +278,7 @@ def test_dqn_no_divergence():
     assert late < early * 5.0  # no divergence
 
 
+@pytest.mark.slow
 def test_ddpg_from_pixels_smoke():
     """BASELINE config 4: DDPG on rendered frames (conv nets, uint8
     replay). Tiny shapes; one fused train step must run and be finite."""
@@ -503,6 +504,7 @@ def test_updates_per_step_zero_is_rollout_only():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_scan_capture_matches_loop_chunks():
     """capture=True under the scan stacks per-call rollout chunks that
     are bitwise the chunks K sequential capture=True calls produce —
@@ -525,6 +527,7 @@ def test_train_scan_capture_matches_loop_chunks():
                                           np.asarray(field_loop))
 
 
+@pytest.mark.slow
 def test_ddpg_lr_decay_schedule():
     """lr_decay_env_steps wires a linear optax schedule into both
     optimizers (gradient-step keyed) and trains finitely. The fused
@@ -596,6 +599,7 @@ def test_pixel_presample_storage_dtype_matches_decoded():
                                           np.asarray(dec[i]))
 
 
+@pytest.mark.slow
 def test_presample_columns_any_batch_matches_sample_columns():
     """presample_columns with batch_size NOT a multiple of num_envs
     (round-4 generalization: one modular take_along_axis replaces the
@@ -622,6 +626,7 @@ def test_presample_columns_any_batch_matches_sample_columns():
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.slow
 def test_pixel_train_step_has_no_ring_copies():
     """The compiled pixel train step must not materialize full-ring
     copies (round-4: the cursor-alignment lax.cond in add_trajectory
@@ -664,6 +669,7 @@ def test_pixel_train_step_has_no_ring_copies():
             f"compiled train step: {copies[:3]}")
 
 
+@pytest.mark.slow
 def test_presample_columns_pixel_slices_match_sample_columns():
     """Quantized rings fetch columns via unrolled dynamic slices instead
     of jnp.take (round-4: take lowered to a full-ring sweep on TPU —
@@ -733,3 +739,33 @@ def test_block_sampling_semantics_and_presample_bitwise():
         rb.sample_block(rs, jax.random.PRNGKey(0), 5)
     with _pytest.raises(ValueError):
         rb.presample_block(rs, keys, 32)  # batch > num_envs
+
+
+def test_unrolled_pixel_insert_bitwise_matches_batchmajor(monkeypatch):
+    """The fat-chunk unrolled per-step ring insert (round 5 — kills the
+    time-major -> batch-major relayout copy) writes bitwise the same
+    ring as the single batch-major DUS."""
+    from cartpoleplusplus_tpu.agents import replay as replay_mod
+
+    rng = np.random.RandomState(0)
+    obs = jnp.asarray(rng.rand(4, 8, 3, 3, 2), jnp.float32)  # (T,B,H,W,C)
+    act = jnp.asarray(rng.rand(4, 8, 2), jnp.float32)
+    rew = jnp.asarray(rng.rand(4, 8), jnp.float32)
+    done = jnp.asarray(rng.rand(4, 8) < 0.2)
+
+    def ring(min_bytes):
+        monkeypatch.setattr(replay_mod, "_UNROLLED_INSERT_MIN_BYTES",
+                            min_bytes)
+        rb = ReplayBuffer(num_envs=8, capacity_per_env=8,
+                          obs_shape=(3, 3, 2), quantize_obs=True,
+                          action_dim=2, discrete=False)
+        rs = rb.init()
+        rs = jax.jit(lambda r: rb.add_trajectory(r, obs, act, rew, done,
+                                                 aligned=True))(rs)
+        return jax.jit(lambda r: rb.add_trajectory(
+            r, obs, act, rew, done, aligned=True))(rs)
+
+    fat = ring(0)                    # force the unrolled path
+    base = ring(1 << 62)             # force the batch-major DUS
+    for a, b in zip(fat, base):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

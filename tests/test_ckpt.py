@@ -147,6 +147,7 @@ def test_weights_only_restore_of_full_save(tmp_path):
                        restored.replay)
 
 
+@pytest.mark.slow
 def test_cli_weights_only_excludes_env_fields(tmp_path):
     """The train CLI's --no-ckpt-full saves persist nets + optimizer +
     counters ONLY: every env-shaped field (replay, env_state, obs,

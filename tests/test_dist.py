@@ -548,6 +548,7 @@ def test_pixel_rollout_layout_independent():
     np.testing.assert_array_equal(obs1, obs8)
 
 
+@pytest.mark.slow
 def test_spmd_pixel_ddpg_train_step():
     """Sharded pixel-DDPG under the SPMD partitioner: quantized ring +
     render + conv learner all shard on the env axis; params replicate."""

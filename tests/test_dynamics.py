@@ -126,6 +126,7 @@ def test_contact_holds_cart_at_rest():
     assert float(jnp.abs(st.s).max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_contact_resolves_drop():
     """Drop the cart from above the plane: it lands and settles near rest
     height (genuine contact resolution, not a hard-coded constraint)."""

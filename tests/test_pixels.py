@@ -9,6 +9,7 @@ moves on screen when the state moves) and the env pixel path end to end.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cartpoleplusplus_tpu import CartPole3D, CartPoleParams
 from cartpoleplusplus_tpu.env.pixels import (
@@ -261,6 +262,7 @@ def test_grayscale_composite_parity():
     assert obs.shape == (3,) + env.obs_shape
 
 
+@pytest.mark.slow
 def test_patch_encoder_shapes_and_training():
     """PatchEncoder (models/nets.py): the MXU-native pixel encoder —
     output shape contract ((H/P)*(W/P)*features[-1] flat f32), uint8
@@ -336,7 +338,7 @@ def test_obs_kernel_parity_interpret():
         st_k, obs_k = jax.jit(env_k.reset)(key)
         step_x, step_k = jax.jit(env_x.step), jax.jit(env_k.step)
         a = jnp.tile(jnp.array([[0.7, -0.4]]), (8, 1))
-        for _ in range(6):
+        for _ in range(3):
             st_x, obs_x, r_x, d_x, _ = step_x(st_x, a)
             st_k, obs_k, r_k, d_k, _ = step_k(st_k, a)
             assert obs_x.shape == obs_k.shape and obs_x.dtype == obs_k.dtype
@@ -350,3 +352,47 @@ def test_obs_kernel_parity_interpret():
     # back to the XLA path.
     assert not obs_renderable(p, RenderConfig(width=10, height=10), 8)
     assert not obs_renderable(p, RenderConfig(width=16, height=16), 9)
+
+
+def test_pixel_naf_and_lrpg_train(tmp_path):
+    """Pixel-observation NAF and LRPG (VERDICT r4 item 6 — the
+    reference trained its agents from pixels through a shared conv
+    stack): conv-encoder nets wire in, the quantized uint8 ring holds
+    NAF's replay, params move, and metrics stay finite."""
+    from cartpoleplusplus_tpu.agents import LRPG, LRPGConfig, NAF, NAFConfig
+    from cartpoleplusplus_tpu.physics.params import continuous_params
+
+    rc = RenderConfig(width=16, height=16, grayscale=True, obs_uint8=True,
+                      frame_diff=True, frame_diff_gain=4.0)
+    env = CartPole3D(continuous_params(), num_envs=16, obs_mode="pixels",
+                     render_config=rc)
+    agent = NAF(env, NAFConfig(hidden=(32, 32), rollout_steps=2,
+                               updates_per_step=2, batch_size=32,
+                               replay_capacity_per_env=16,
+                               warmup_env_steps=0))
+    assert agent.replay.quantize_obs and not agent.kernel_mode
+    st = agent.init(0)
+    p0 = jax.tree.map(jnp.copy, st.params)
+    step = jax.jit(agent.train_step)
+    for _ in range(3):
+        st, m = step(st)
+    assert np.isfinite(float(m["loss"]))
+    assert any(float(jnp.max(jnp.abs(a - b))) > 0
+               for a, b in zip(jax.tree.leaves(p0),
+                               jax.tree.leaves(st.params))), \
+        "pixel-NAF params did not move"
+
+    denv = CartPole3D(CartPoleParams(), num_envs=16, obs_mode="pixels",
+                      render_config=rc)
+    lagent = LRPG(denv, LRPGConfig(hidden=(32, 32), rollout_steps=4))
+    assert not lagent.kernel_mode
+    lst = lagent.init(0)
+    lp0 = jax.tree.map(jnp.copy, lst.params)
+    lstep = jax.jit(lagent.train_step)
+    for _ in range(3):
+        lst, lm = lstep(lst)
+    assert np.isfinite(float(lm["loss"]))
+    assert any(float(jnp.max(jnp.abs(a - b))) > 0
+               for a, b in zip(jax.tree.leaves(lp0),
+                               jax.tree.leaves(lst.params))), \
+        "pixel-LRPG params did not move"
