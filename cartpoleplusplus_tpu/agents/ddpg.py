@@ -371,6 +371,69 @@ class DDPG:
                 critic_target=polyak(st.critic_target, critic, c.tau))
         return st, {"critic_loss": closs, "actor_loss": aloss}
 
+    def _frozen_target_update_scan(self, st: DDPGState, ready, presample):
+        """per_step-polyak XLA learner with the TD targets hoisted OUT of
+        the update scan: targets are frozen across the K updates (that is
+        what per_step means), so y = r + gamma*(1-d)*Q'(s', mu'(s')) for
+        ALL K presampled minibatches is ONE batched (K*B)-row pass
+        through the target nets instead of K sequential ones on the
+        serial update chain. Same y values as _update_once under
+        per_step semantics; the win is largest for pixel nets, where
+        each hoisted pass is a conv encoder (round-5: the conv fwd/bwd
+        block is the biggest update-phase cost after the sampling
+        fixes)."""
+        c = self.cfg
+
+        def do(s):
+            rng, k = jax.random.split(s.rng)
+            s = s._replace(rng=rng)
+            keys = jax.random.split(k, c.updates_per_step)
+            obs, action, reward, next_obs, done = presample(s, keys)
+            kk, bs = reward.shape[:2]
+            nobs = next_obs.reshape((kk * bs,) + next_obs.shape[2:])
+            a_next = self.actor_net.apply(s.actor_target, nobs)
+            q_next = self.critic_net.apply(s.critic_target, nobs, a_next)
+            y = (reward.reshape(-1)
+                 + c.gamma * (1.0 - done.reshape(-1).astype(jnp.float32))
+                 * q_next).reshape(kk, bs)
+
+            def body(s2, x):
+                obs_b, act_b, y_b = x
+
+                def closs_fn(critic):
+                    q = self.critic_net.apply(critic, obs_b, act_b)
+                    return jnp.mean(jnp.square(q - y_b))
+
+                closs, cgrad = jax.value_and_grad(closs_fn)(s2.critic)
+                if self.dist_axis is not None:
+                    closs, cgrad = jax.lax.pmean((closs, cgrad),
+                                                 self.dist_axis)
+                cupd, copt = self.critic_tx.update(cgrad, s2.critic_opt,
+                                                   s2.critic)
+                critic = optax.apply_updates(s2.critic, cupd)
+                actor_critic = (s2.critic if c.actor_grad_critic == "pre"
+                                else critic)
+                aloss, agrad = jax.value_and_grad(self._actor_loss)(
+                    s2.actor, actor_critic, obs_b)
+                if self.dist_axis is not None:
+                    aloss, agrad = jax.lax.pmean((aloss, agrad),
+                                                 self.dist_axis)
+                aupd, aopt = self.actor_tx.update(agrad, s2.actor_opt,
+                                                  s2.actor)
+                actor = optax.apply_updates(s2.actor, aupd)
+                s2 = s2._replace(actor=actor, critic=critic,
+                                 actor_opt=aopt, critic_opt=copt)
+                return s2, {"critic_loss": closs, "actor_loss": aloss}
+
+            s, metrics = jax.lax.scan(body, s, (obs, action, y))
+            return s, jax.tree.map(jnp.mean, metrics)
+
+        zero = {"critic_loss": jnp.float32(0.0),
+                "actor_loss": jnp.float32(0.0)}
+        if ready is True:
+            return do(st)
+        return jax.lax.cond(ready, do, lambda s: (s, zero), st)
+
     def kernel_learner_ok(self) -> bool:
         """Whether ops/learner_kernel.py covers this config: state obs
         (pixel frames would blow VMEM), >= 2 hidden layers (the action
@@ -582,6 +645,11 @@ class DDPG:
                  else env_steps >= c.warmup_env_steps)
         if self.kernel_mode:
             st, losses = self._kernel_update_phase(st, ready)
+        elif c.polyak_cadence == "per_step" and c.updates_per_step > 0:
+            st, losses = self._frozen_target_update_scan(
+                st, ready, replay_presample(self.replay, c.sample,
+                                            c.batch_size, self.num_shards,
+                                            self.dist_axis))
         else:
             st, losses = gated_update_scan(
                 st, self._update_once, c.updates_per_step, ready,

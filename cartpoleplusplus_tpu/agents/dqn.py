@@ -64,6 +64,8 @@ class DQNConfig:
     learner_precision: str | None = None  # in-kernel matmul precision
     # Pixel-obs encoder: "conv" | "patch" (see DDPGConfig.encoder).
     encoder: str = "conv"
+    # Conv-encoder channel widths (pixel obs only; see DDPGConfig).
+    conv_features: tuple = (16, 32, 32)
 
 
 class DQNState(NamedTuple):
@@ -95,7 +97,8 @@ class DQN:
         if pixels:
             self.q_net = VisualQNet(num_actions=env.num_actions,
                                     hidden=config.hidden, dtype=dtype,
-                                    encoder=config.encoder)
+                                    encoder=config.encoder,
+                                    features=tuple(config.conv_features))
         else:
             self.q_net = QNetMLP(num_actions=env.num_actions,
                                  hidden=config.hidden, dtype=dtype)

@@ -49,6 +49,8 @@ class LRPGConfig:
     learner_precision: str | None = None  # in-kernel matmul precision
     # Pixel-obs encoder ("conv" | "patch"), ignored for state obs.
     encoder: str = "conv"
+    # Conv-encoder channel widths (pixel obs only; see DDPGConfig).
+    conv_features: tuple = (16, 32, 32)
 
 
 class LRPGState(NamedTuple):
@@ -99,7 +101,8 @@ class LRPG:
             from ..models import VisualPolicy
             self.net = VisualPolicy(num_actions=env.num_actions,
                                     hidden=config.hidden, dtype=dtype,
-                                    encoder=config.encoder)
+                                    encoder=config.encoder,
+                                    features=tuple(config.conv_features))
         else:
             self.net = PolicyMLP(num_actions=env.num_actions,
                                  hidden=config.hidden, dtype=dtype)

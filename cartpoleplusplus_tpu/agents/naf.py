@@ -96,6 +96,8 @@ class NAFConfig:
     # reference attempted conv-NAF (SURVEY.md §2a NAF row); frames are
     # replayed quantized to uint8 like pixel-DDPG.
     encoder: str = "conv"
+    # Conv-encoder channel widths (pixel obs only; see DDPGConfig).
+    conv_features: tuple = (16, 32, 32)
 
 
 class NAFState(NamedTuple):
@@ -128,7 +130,8 @@ class NAF:
             from ..models import VisualNafNet
             self.net = VisualNafNet(action_dim=env.action_dim,
                                     hidden=config.hidden, dtype=dtype,
-                                    encoder=config.encoder)
+                                    encoder=config.encoder,
+                                    features=tuple(config.conv_features))
         else:
             self.net = NafNet(action_dim=env.action_dim,
                               hidden=config.hidden, dtype=dtype)

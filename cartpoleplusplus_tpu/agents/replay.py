@@ -31,15 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Fat-chunk threshold for the unrolled per-step ring insert (bytes):
-# quantized chunks above it skip the (T, B, flat) -> (B, T, flat)
-# relayout (a ~1 ms/train-call 226 MB uint8 copy at the 570k pixel
-# config) in favor of T per-step dynamic_update_slices straight from
-# the time-major rollout layout. Module-level so tests can force the
-# unrolled path on small rings.
-_UNROLLED_INSERT_MIN_BYTES = 1 << 22
-
-
 class ReplayState(NamedTuple):
     """Ring-buffer contents. Leading dims: (num_envs, capacity_per_env)."""
 
@@ -204,21 +195,14 @@ class ReplayBuffer:
             i = rs.cursor
 
             def put(buf, rows):
-                if self.quantize_obs and rows.nbytes > \
-                        _UNROLLED_INSERT_MIN_BYTES:
-                    # Fat (pixel) chunks: T unrolled per-step DUS writes
-                    # straight from the time-major rollout layout. The
-                    # single batch-major DUS below needs a (T, B, flat)
-                    # -> (B, T, flat) relayout first — a ~1 ms/train-call
-                    # copy of the 226 MB uint8 chunk at the 570k pixel
-                    # config (round-5 hlo_stats: copy.183). No wrap
-                    # handling needed: the fast path's alignment
-                    # precondition gives i + t <= capacity.
-                    rows = rows.astype(buf.dtype)
-                    for k in range(t):
-                        buf = jax.lax.dynamic_update_slice_in_dim(
-                            buf, rows[k][:, None], i + k, axis=1)
-                    return buf
+                # One batch-major DUS after a (T, B, flat) ->
+                # (B, T, flat) relayout. Round 5 measured the "obvious"
+                # alternative — T unrolled per-step DUS writes straight
+                # from the time-major layout, saving the ~1 ms relayout
+                # copy — at 551k vs 705k env-steps/s e2e at the pixel
+                # operating point: XLA does not alias the sequential
+                # DUS chain on the multi-GB ring inside the scan, so
+                # each step paid far more than the transpose it saved.
                 rows = jnp.moveaxis(rows.astype(buf.dtype), 0, 1)
                 return jax.lax.dynamic_update_slice_in_dim(
                     buf, rows, i, axis=1)

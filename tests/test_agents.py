@@ -741,31 +741,44 @@ def test_block_sampling_semantics_and_presample_bitwise():
         rb.presample_block(rs, keys, 32)  # batch > num_envs
 
 
-def test_unrolled_pixel_insert_bitwise_matches_batchmajor(monkeypatch):
-    """The fat-chunk unrolled per-step ring insert (round 5 — kills the
-    time-major -> batch-major relayout copy) writes bitwise the same
-    ring as the single batch-major DUS."""
-    from cartpoleplusplus_tpu.agents import replay as replay_mod
+@pytest.mark.slow
+def test_frozen_target_update_scan_matches_update_once():
+    """The per_step-polyak XLA learner hoists the TD-target pass out of
+    the update scan (round 5): y for all K minibatches in ONE batched
+    target-net pass. Under per_step semantics the targets are frozen
+    across the scan, so this must match scanning _update_once (which
+    recomputes y per update from the same frozen targets) to f32
+    batched-matmul tolerance."""
+    import types
 
-    rng = np.random.RandomState(0)
-    obs = jnp.asarray(rng.rand(4, 8, 3, 3, 2), jnp.float32)  # (T,B,H,W,C)
-    act = jnp.asarray(rng.rand(4, 8, 2), jnp.float32)
-    rew = jnp.asarray(rng.rand(4, 8), jnp.float32)
-    done = jnp.asarray(rng.rand(4, 8) < 0.2)
+    from cartpoleplusplus_tpu.agents.common import (gated_update_scan,
+                                                    replay_presample)
+    from cartpoleplusplus_tpu.physics.params import continuous_params
 
-    def ring(min_bytes):
-        monkeypatch.setattr(replay_mod, "_UNROLLED_INSERT_MIN_BYTES",
-                            min_bytes)
-        rb = ReplayBuffer(num_envs=8, capacity_per_env=8,
-                          obs_shape=(3, 3, 2), quantize_obs=True,
-                          action_dim=2, discrete=False)
-        rs = rb.init()
-        rs = jax.jit(lambda r: rb.add_trajectory(r, obs, act, rew, done,
-                                                 aligned=True))(rs)
-        return jax.jit(lambda r: rb.add_trajectory(
-            r, obs, act, rew, done, aligned=True))(rs)
+    env = CartPole3D(continuous_params(), num_envs=32)
+    cfg = DDPGConfig(hidden=(32, 32), rollout_steps=4, updates_per_step=3,
+                     batch_size=32, replay_capacity_per_env=16,
+                     warmup_env_steps=0, polyak_cadence="per_step",
+                     learner="xla")
+    a_new = DDPG(env, cfg)
+    a_ref = DDPG(env, cfg)
 
-    fat = ring(0)                    # force the unrolled path
-    base = ring(1 << 62)             # force the batch-major DUS
-    for a, b in zip(fat, base):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    def old_path(self, st, ready, presample):
+        return gated_update_scan(
+            st, self._update_once, self.cfg.updates_per_step, ready,
+            {"critic_loss": jnp.float32(0.0),
+             "actor_loss": jnp.float32(0.0)}, presample=presample)
+
+    a_ref._frozen_target_update_scan = types.MethodType(old_path, a_ref)
+    st_n = a_new.init(0)
+    st_r = a_ref.init(0)
+    for _ in range(3):
+        st_n, m_n = jax.jit(a_new.train_step)(st_n)
+        st_r, m_r = jax.jit(a_ref.train_step)(st_r)
+    for field in ("actor", "critic", "actor_target", "critic_target"):
+        for x, y in zip(jax.tree.leaves(getattr(st_n, field)),
+                        jax.tree.leaves(getattr(st_r, field))):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(float(m_n["critic_loss"]),
+                               float(m_r["critic_loss"]), rtol=1e-4)
