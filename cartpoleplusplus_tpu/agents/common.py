@@ -86,19 +86,22 @@ def make_train_scan(agent, num_calls: int, capture: bool = False,
 
         return jax.lax.scan(body, st, None, length=num_calls)
 
-    # AUTO layouts (opt-in): let XLA pick the STATE's parameter/result
-    # layouts instead of forcing row-major at the jit boundary. The
-    # round-5 trace showed XLA's layout assignment preferring an
-    # env-minor ring layout inside the scanned train step while the
-    # default boundary layout is row-major — with donation that
-    # mismatch materializes as a PAIR of full-ring relayout copies per
-    # dispatch (~0.9 ms/train-call on the 1.8 GB pixel ring at dispatch
-    # 16; hlo_stats copy.98/.100). AUTO on both sides lets the state
-    # LIVE in the preferred layout between dispatches of the same jit.
-    # Opt-in (CARTPOLE_AUTO_LAYOUT=1) because every OTHER consumer of
-    # the state (eval, checkpoint fetch) then pays a one-off relayout.
+    # AUTO layouts: let XLA pick the STATE's parameter/result layouts
+    # instead of forcing row-major at the jit boundary. The round-5
+    # trace showed XLA's layout assignment preferring an env-minor ring
+    # layout inside the scanned train step while the default boundary
+    # layout is row-major — with donation that mismatch materializes as
+    # a PAIR of full-ring relayout copies per dispatch (~0.9 ms/train-
+    # call on the 1.8 GB pixel ring at dispatch 16; hlo_stats
+    # copy.98/.100). AUTO on both sides lets the state LIVE in the
+    # preferred layout between dispatches of the same jit — measured
+    # +4.6% e2e pixel-DDPG (704.2k -> 736.6k env-steps/s). Default ON
+    # for TPU (CARTPOLE_AUTO_LAYOUT=0 opts out; other consumers of the
+    # state — eval, checkpoint fetch — pay a one-off relayout).
     import os
-    if os.environ.get("CARTPOLE_AUTO_LAYOUT", "0") == "1":
+    auto_env = os.environ.get("CARTPOLE_AUTO_LAYOUT")
+    if (auto_env == "1"
+            or (auto_env is None and jax.default_backend() == "tpu")):
         from jax.experimental.layout import Format, Layout
         auto = Format(Layout.AUTO)
         return jax.jit(scanned, in_shardings=auto, out_shardings=auto,
