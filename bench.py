@@ -669,16 +669,29 @@ def bench_suite():
 
     configs = os.environ.get(
         "BENCH_SUITE_CONFIGS",
-        "discrete,ddpg,dqn,naf,lrpg,pixels,ddpg_pixels,ddpg_pixels_4096"
+        "discrete,ddpg,dqn,naf,lrpg,pixels,ddpg_pixels,ddpg_pixels_4096,"
+        "ddpg_pixels_block_2048,ddpg_pixels_block_4096"
     ).split(",")
     # Suite aliases: a named BENCH_CONFIG plus baked env overrides —
     # for measured sweet spots whose knobs are env vars (BASELINE.md
     # round-4 pixel env-scaling row: 4096 envs / replay 32 is the peak
-    # at the fixed quality-validated 16x256 update cadence).
+    # at the fixed quality-validated 16x256 update cadence; round-5
+    # adds the block-sampling operating points — the *_block_* lines
+    # are self-describing via the "sample" field).
     aliases = {"ddpg_pixels_4096": ("ddpg_pixels",
                                     {"BENCH_NUM_ENVS": "4096",
                                      "BENCH_NUM_STEPS": "1024",
-                                     "BENCH_PIX_REPLAY": "32"})}
+                                     "BENCH_PIX_REPLAY": "32"}),
+               "ddpg_pixels_block_2048": ("ddpg_pixels",
+                                          {"BENCH_NUM_ENVS": "2048",
+                                           "BENCH_NUM_STEPS": "1024",
+                                           "BENCH_PIX_REPLAY": "64",
+                                           "BENCH_PIX_SAMPLE": "block"}),
+               "ddpg_pixels_block_4096": ("ddpg_pixels",
+                                          {"BENCH_NUM_ENVS": "4096",
+                                           "BENCH_NUM_STEPS": "1024",
+                                           "BENCH_PIX_REPLAY": "32",
+                                           "BENCH_PIX_SAMPLE": "block"})}
     per_timeout = float(os.environ.get("BENCH_SUITE_TIMEOUT", "900"))
     out = {"results": {}}
     for cfg in configs:

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--calls", type=int, default=32)
     ap.add_argument("--scan", type=int, default=16)
+    ap.add_argument("--sample", default="column")
     ap.add_argument("--out", default="/tmp/px_prof")
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args()
@@ -48,7 +49,7 @@ def main():
     agent = DDPG(env, DDPGConfig(rollout_steps=8,
                                  updates_per_step=args.updates,
                                  batch_size=args.batch,
-                                 warmup_env_steps=0,
+                                 warmup_env_steps=0, sample=args.sample,
                                  replay_capacity_per_env=args.replay))
     st = agent.init(0)
     scan = agent.make_train_scan(args.scan)
