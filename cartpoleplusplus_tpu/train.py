@@ -106,6 +106,16 @@ _PRESETS = {
                         render_grayscale=True, render_obs_uint8=True,
                         render_frame_diff=True, render_frame_diff_gain=4.0,
                         total_env_steps=120_000, steps_per_dispatch=16,
+                        # End-of-budget collapse canary (round 5): long-
+                        # horizon pixel runs can walk off entirely on
+                        # unlucky seeds (seed 1 at 200k steps evals 3.0
+                        # where seed 0 restores 198.3 — BASELINE.md
+                        # round-5); mid-run detection is impossible at
+                        # these cadences (round-4 calibration), so the
+                        # shipped fix is the same verify-and-retry the
+                        # fast/NAF presets use.
+                        canary_env_steps=120_000, canary_min_eval=150.0,
+                        canary_max_restarts=2,
                         # One log per 10 dispatches: every metric fetch
                         # rides the same host link as dispatches (~20%
                         # throughput tax at one log per dispatch even
@@ -518,9 +528,16 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     i = start_call
     attempt = 0
-    canary_call = (None if run.canary_env_steps <= 0
-                   or start_call * steps_per_call >= run.canary_env_steps
-                   else -(-run.canary_env_steps // steps_per_call))
+    # Clamp the canary to the actual budget: a preset pins
+    # canary_env_steps to ITS total_env_steps, and a user override of
+    # --total-env-steps alone must not silently disarm the end-of-budget
+    # check (canary_call beyond n_calls would never fire) or turn it
+    # into a mid-run one (measured non-separable, BASELINE.md round-4).
+    canary_steps = (min(run.canary_env_steps, run.total_env_steps)
+                    if run.canary_env_steps > 0 else 0)
+    canary_call = (None if canary_steps <= 0
+                   or start_call * steps_per_call >= canary_steps
+                   else -(-canary_steps // steps_per_call))
     # Off-thread metric logging: fetching the metric scalars
     # synchronizes with the device, and on the tunneled platform one
     # fetch costs a full round trip (~15-170 ms). With a log landing
