@@ -106,6 +106,31 @@ def _light_np():
     return tuple(np.float32(v) for v in (l / np.sqrt((l * l).sum())))
 
 
+def camera_basis_np(cam: CameraConfig, width: int, height: int):
+    """Orthonormal camera basis + tangent scales as np.float32 scalars:
+    (eye(3), fwd(3), right(3), up(3), tan_r, tan_u) with the SAME
+    conventions as ray_constants_np: d = fwd + xs*tan_r*right +
+    ys*tan_u*up, xs in [-1,1] across width, ys = 1-(row+0.5)/H*2.
+    Used by the render kernel's conservative screen-row body bounds."""
+    import math as m
+
+    import numpy as np
+
+    eye = np.asarray(cam.eye, np.float32)
+    fwd = np.asarray(cam.target, np.float32) - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(cam.up, np.float32))
+    right = right / np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    tan_r = np.float32(m.tan(m.radians(cam.fov_deg) / 2.0))
+    tan_u = np.float32(tan_r * height / width)
+    return (tuple(np.float32(v) for v in eye),
+            tuple(np.float32(v) for v in fwd),
+            tuple(np.float32(v) for v in right),
+            tuple(np.float32(v) for v in up),
+            tan_r, tan_u)
+
+
 def ray_constants_np(cam: CameraConfig, width: int, height: int):
     """Numpy mirror of camera_rays, flattened: ((ex, ey, ez),
     (dx, dy, dz), (inv_dx, inv_dy, inv_dz)) with d*/inv_* of shape

@@ -396,3 +396,35 @@ def test_pixel_naf_and_lrpg_train(tmp_path):
                for a, b in zip(jax.tree.leaves(lp0),
                                jax.tree.leaves(lst.params))), \
         "pixel-LRPG params did not move"
+
+
+def test_render_cull_matches_full_shade(monkeypatch):
+    """Row-band culling (round 5 — ops/render_kernel.py::_row_band):
+    the culled kernel must match the full shade to one-ulp on
+    ADVERSARIAL poses (extreme positions and tilts to the termination
+    limit and beyond). A conservative-bound bug would surface as O(0.1)
+    body-vs-background differences, not rounding noise."""
+    import cartpoleplusplus_tpu.ops.render_kernel as rk
+    from cartpoleplusplus_tpu.physics import CartPoleParams as _P
+
+    p = _P()
+    rng = np.random.RandomState(1)
+    b = 24
+    pos = np.stack([rng.uniform(-2.2, 2.2, b), rng.uniform(-2.2, 2.2, b),
+                    np.full(b, 0.0978)], -1).astype(np.float32)
+    s = rng.uniform(-0.99, 0.99, (b, 2)).astype(np.float32)
+    nrm = np.sqrt((s ** 2).sum(-1, keepdims=True))
+    s = np.where(nrm > 0.995, s * 0.995 / nrm, s)
+    phys = rest_state(p, batch_shape=(b,))
+    phys = phys._replace(pos=jnp.asarray(pos), s=jnp.asarray(s))
+    cfg = RenderConfig(width=48, height=48, grayscale=True)
+    assert len(rk._pick_chunks(48 * 48)) > 1  # culling actually active
+    monkeypatch.setenv("CARTPOLE_RENDER_CULL", "1")
+    culled = np.asarray(jax.jit(
+        rk.pallas_render_all(p, cfg, b, interpret=True))(phys))
+    monkeypatch.setenv("CARTPOLE_RENDER_CULL", "0")
+    full = np.asarray(jax.jit(
+        rk.pallas_render_all(p, cfg, b, interpret=True))(phys))
+    np.testing.assert_allclose(culled, full, atol=1e-6)
+    # The scene is non-trivial (bodies visible somewhere).
+    assert np.abs(np.diff(full, axis=0)).max() > 0.05
