@@ -105,22 +105,39 @@ def _row_band(p: CartPoleParams, cfg: RenderConfig, basis,
 
 
 def _render_cam_kernel(p: CartPoleParams, cfg: RenderConfig, eye, dt,
-                       gray, basis, chunks, *refs):
+                       gray, *refs):
     """One camera, one env block: inputs are 6 env-state columns, 6 ray
     rows and the static precomputed rows (env/pixels.py::static_rows_np
     — ground/sky, slab half-widths, face-normal Lambert), outputs the
     composited channel planes (1 luminance plane when `gray` — a third
-    of the HBM writes of RGB).
+    of the HBM writes of RGB)."""
+    n_out = 1 if gray else 3
+    ins, outs = refs[:len(refs) - n_out], refs[len(refs) - n_out:]
+    cols = [ref[:].astype(dt) for ref in ins[:6]]
+    rays = [ref[:].astype(dt) for ref in ins[6:12]]
+    static = tuple(ref[:].astype(dt) for ref in ins[12:])
+    chans = _px.shade_components(p, cfg, eye, *rays, static, *cols,
+                                 gray=gray)
+    for out, chan in zip(outs, chans):
+        out[:] = chan.astype(jnp.float32)
 
-    Row-band culling (round 5): the bodies cover a small screen-row
-    band (cart ~6 px, pole ~20-40 px of a 48-px frame) while the
-    background is precomputed static rows, so the kernel computes a
-    conservative per-block row interval (_row_band) and shades only
-    the static pixel chunks that intersect it — culled chunks write
-    the background rows directly. Exactness: the band provably
-    contains every body pixel, and outside it the composite IS the
-    background (pinned by the interpret parity tests and bench.py's
-    hardware parity legs)."""
+
+def _render_cam_cull_kernel(p: CartPoleParams, cfg: RenderConfig, eye,
+                            dt, gray, basis, chunk, *refs):
+    """Row-band-culled variant: grid (env_blocks, pixel_chunks), the
+    chunk's ray/static/output blocks arrive pre-sliced by BlockSpec.
+
+    The bodies cover a small screen-row band (cart ~6 px, pole
+    ~20-40 px of a 48-px frame) while the background is precomputed
+    static rows, so each grid step computes a conservative row interval
+    for its env block (_row_band) and shades ONLY when its pixel chunk
+    intersects it — culled steps write the background rows directly.
+    The chunk axis lives in the GRID, not unrolled in the body: Mosaic's
+    backend crashes on two predicated shade regions in one kernel body
+    (probed on hardware, round 5), and the grid form needs exactly one.
+    Exactness: the band provably contains every body pixel, and outside
+    it the composite IS the background (interpret parity tests +
+    bench.py's hardware parity legs)."""
     import numpy as np
 
     f = np.float32
@@ -130,37 +147,25 @@ def _render_cam_kernel(p: CartPoleParams, cfg: RenderConfig, eye, dt,
     rays = [ref[:].astype(dt) for ref in ins[6:12]]
     static = tuple(ref[:].astype(dt) for ref in ins[12:])
     be = cols[0].shape[0]
-    width = cfg.width
-
-    def shade_into(c0, c1):
-        chans = _px.shade_components(
-            p, cfg, eye, *[r[:, c0:c1] for r in rays],
-            tuple(s[:, c0:c1] for s in static), *cols, gray=gray)
-        for out, chan in zip(outs, chans):
-            out[:, c0:c1] = chan.astype(jnp.float32)
-
-    if len(chunks) == 1:
-        shade_into(*chunks[0])
-        return
 
     row_lo, row_hi = _row_band(p, cfg, basis, *cols)
-    for c0, c1 in chunks:
-        r0, r1 = c0 // width, (c1 - 1) // width
-        cond = (row_hi >= f(r0)) & (row_lo <= f(r1))
+    px0 = pl.program_id(1) * chunk
+    r0 = (px0 // cfg.width).astype(jnp.float32)
+    r1 = ((px0 + chunk - 1) // cfg.width).astype(jnp.float32)
+    cond = (row_hi >= r0) & (row_lo <= r1)
 
-        def emit(c0=c0, c1=c1, cond=cond):
-            @pl.when(cond)
-            def _shade():
-                shade_into(c0, c1)
+    @pl.when(cond)
+    def _shade():
+        chans = _px.shade_components(p, cfg, eye, *rays, static, *cols,
+                                     gray=gray)
+        for out, chan in zip(outs, chans):
+            out[:] = chan.astype(jnp.float32)
 
-            @pl.when(jnp.logical_not(cond))
-            def _background():
-                for i in range(n_out):
-                    bg = static[1 + i][:, c0:c1].astype(jnp.float32)
-                    outs[i][:, c0:c1] = jnp.broadcast_to(bg,
-                                                         (be, c1 - c0))
-
-        emit()
+    @pl.when(jnp.logical_not(cond))
+    def _background():
+        for i in range(n_out):
+            outs[i][:] = jnp.broadcast_to(
+                static[1 + i].astype(jnp.float32), (be, chunk))
 
 
 def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
@@ -193,23 +198,44 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
         chunks = _pick_chunks(npx)
     else:
         chunks = [(0, npx)]
-    basis = _px.camera_basis_np(cam, cfg.width, cfg.height)
-    kernel = functools.partial(_render_cam_kernel, p, cfg, eye, dt, gray,
-                               basis, chunks)
-    env_col = pl.BlockSpec((be, 1), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
-    ray_row = pl.BlockSpec((1, npx), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
-    out_rows = pl.BlockSpec((be, npx), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kernel,
-        grid=(b // be,),
-        out_shape=(jax.ShapeDtypeStruct((b, npx), jnp.float32),) * nch,
-        in_specs=[env_col] * 6 + [ray_row] * (6 + len(rows_np)),
-        out_specs=(out_rows,) * nch,
-        interpret=interpret,
-    )
+    if len(chunks) > 1:
+        chunk = npx // len(chunks)
+        basis = _px.camera_basis_np(cam, cfg.width, cfg.height)
+        kernel = functools.partial(_render_cam_cull_kernel, p, cfg, eye,
+                                   dt, gray, basis, chunk)
+        env_col = pl.BlockSpec((be, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM)
+        ray_row = pl.BlockSpec((1, chunk), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)
+        out_rows = pl.BlockSpec((be, chunk), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(b // be, len(chunks)),
+            out_shape=(jax.ShapeDtypeStruct((b, npx),
+                                            jnp.float32),) * nch,
+            in_specs=[env_col] * 6 + [ray_row] * (6 + len(rows_np)),
+            out_specs=(out_rows,) * nch,
+            interpret=interpret,
+        )
+    else:
+        kernel = functools.partial(_render_cam_kernel, p, cfg, eye, dt,
+                                   gray)
+        env_col = pl.BlockSpec((be, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        ray_row = pl.BlockSpec((1, npx), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        out_rows = pl.BlockSpec((be, npx), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(b // be,),
+            out_shape=(jax.ShapeDtypeStruct((b, npx),
+                                            jnp.float32),) * nch,
+            in_specs=[env_col] * 6 + [ray_row] * (6 + len(rows_np)),
+            out_specs=(out_rows,) * nch,
+            interpret=interpret,
+        )
 
     def run(phys: PhysState):
         sx, sy = phys.s[..., 0], phys.s[..., 1]
