@@ -191,10 +191,18 @@ def pallas_render(p: CartPoleParams, cfg: RenderConfig, cam: CameraConfig,
     gray = cfg.grayscale
     nch = 1 if gray else 3
     rows_np, _ = _px.static_rows_np(cam, cfg, gray)
-    # Row-band culling on by default (CARTPOLE_RENDER_CULL=0 opts out —
-    # the A/B escape hatch and the bitwise-full-shade reference).
+    # Row-band culling OFF by default: a MEASURED NEGATIVE on this chip
+    # (round 5). The grid form (chunk axis in the pallas grid — the only
+    # form Mosaic compiles, see _render_cam_cull_kernel) halves e2e
+    # pixel training throughput (2048/block: 395k vs 736k env-steps/s;
+    # 4096: 420k vs 828k): with only 6 chunks per 48x48 frame the
+    # per-grid-step window DMAs and pipeline breaks cost far more than
+    # the skipped shades, and mixed-pose env blocks rarely cull much.
+    # Kept as an opt-in (CARTPOLE_RENDER_CULL=1) with exact-parity
+    # tests — the conservative-projection machinery is correct, the
+    # economics are not (docs/design.md §18).
     import os
-    if os.environ.get("CARTPOLE_RENDER_CULL", "1") == "1":
+    if os.environ.get("CARTPOLE_RENDER_CULL", "0") == "1":
         chunks = _pick_chunks(npx)
     else:
         chunks = [(0, npx)]
