@@ -172,6 +172,13 @@ class DDPG:
             quantize_obs=pixels,
             action_dim=env.action_dim,
             discrete=False)
+        if config.sample == "block":
+            lb = local_batch(config.batch_size, max(self.num_shards, 1))
+            if lb > env.num_envs or env.num_envs % lb:
+                raise ValueError(
+                    f"sample='block' needs the per-shard batch ({lb}) to "
+                    f"divide num_envs ({env.num_envs}) — lower "
+                    f"--<agent>.batch-size or use sample='column'")
         self.actor_tx = optax.adam(self._lr(config.actor_lr))
         self.critic_tx = optax.adam(self._lr(config.critic_lr))
         # Resolve the learner implementation once, at construction: the

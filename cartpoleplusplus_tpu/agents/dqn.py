@@ -106,6 +106,13 @@ class DQN:
             num_envs=env.num_envs,
             capacity_per_env=config.replay_capacity_per_env,
             obs_shape=env.obs_shape, quantize_obs=pixels, discrete=True)
+        if config.sample == "block":
+            lb = local_batch(config.batch_size, max(self.num_shards, 1))
+            if lb > env.num_envs or env.num_envs % lb:
+                raise ValueError(
+                    f"sample='block' needs the per-shard batch ({lb}) to "
+                    f"divide num_envs ({env.num_envs}) — lower "
+                    f"--<agent>.batch-size or use sample='column'")
         self.tx = optax.adam(config.lr)
         if config.learner == "kernel":
             if not self.kernel_learner_ok():

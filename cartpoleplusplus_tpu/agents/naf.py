@@ -140,6 +140,13 @@ class NAF:
             capacity_per_env=config.replay_capacity_per_env,
             obs_shape=env.obs_shape, quantize_obs=pixels,
             action_dim=env.action_dim, discrete=False)
+        if config.sample == "block":
+            lb = local_batch(config.batch_size, max(self.num_shards, 1))
+            if lb > env.num_envs or env.num_envs % lb:
+                raise ValueError(
+                    f"sample='block' needs the per-shard batch ({lb}) to "
+                    f"divide num_envs ({env.num_envs}) — lower "
+                    f"--<agent>.batch-size or use sample='column'")
         lr = config.lr
         if config.lr_decay_env_steps > 0:
             lr = optax.linear_schedule(

@@ -102,10 +102,16 @@ _PRESETS = {
     },
     "pixels": {
         "ddpg": {
-            "run": dict(num_envs=512, obs_mode="pixels",
+            # Round-5 recipe: the measured pixel-quality winner moved
+            # from 512 envs/120k (round 3: restored 195.3) to 2048
+            # envs / replay 64 / BLOCK sampling / 200k steps / lr decay
+            # 100k — restored eval 198.32 / 200 median (seed 0), with
+            # sustained training ~3x faster than the 512-env recipe
+            # (block sampling + auto layouts, BASELINE.md round-5).
+            "run": dict(num_envs=2048, obs_mode="pixels",
                         render_grayscale=True, render_obs_uint8=True,
                         render_frame_diff=True, render_frame_diff_gain=4.0,
-                        total_env_steps=120_000, steps_per_dispatch=16,
+                        total_env_steps=200_000, steps_per_dispatch=16,
                         # End-of-budget collapse canary (round 5): long-
                         # horizon pixel runs can walk off entirely on
                         # unlucky seeds (seed 1 at 200k steps evals 3.0
@@ -114,7 +120,7 @@ _PRESETS = {
                         # these cadences (round-4 calibration), so the
                         # shipped fix is the same verify-and-retry the
                         # fast/NAF presets use.
-                        canary_env_steps=120_000, canary_min_eval=150.0,
+                        canary_env_steps=200_000, canary_min_eval=150.0,
                         canary_max_restarts=2,
                         # One log per 10 dispatches: every metric fetch
                         # rides the same host link as dispatches (~20%
@@ -130,9 +136,9 @@ _PRESETS = {
                         ckpt_full=False),
             "agent": dict(actor_lr=3e-4, critic_lr=3e-4,
                           updates_per_step=16,
-                          replay_capacity_per_env=256,
+                          replay_capacity_per_env=64, sample="block",
                           ou_sigma_decay_env_steps=20_000,
-                          lr_decay_env_steps=60_000),
+                          lr_decay_env_steps=100_000),
         },
     },
 }

@@ -452,7 +452,8 @@ def test_preset_fast_lrpg_trains_end_to_end(capsys):
 
 def test_preset_pixels_merges_without_clobbering():
     """--preset pixels lifts unset fields to the measured pixel-learning
-    winner (BASELINE.md round-3: restored eval 192.7/195.5, median 200);
+    winner (round-5 recipe: 2048 envs / block sampling / 200k steps,
+    restored eval 198.32 / 200 median — BASELINE.md round-5);
     explicitly-typed flags always win."""
     import dataclasses as dc
 
@@ -477,7 +478,9 @@ def test_preset_pixels_merges_without_clobbering():
     assert env.obs_shape[-1] == 1 * 2 * env.params.action_repeats
     assert agent.cfg.actor_lr == 3e-4 and agent.cfg.critic_lr == 3e-4
     assert agent.cfg.updates_per_step == 16
-    assert agent.cfg.lr_decay_env_steps == 60_000
+    assert agent.cfg.lr_decay_env_steps == 100_000
+    assert agent.cfg.sample == "block"
+    assert agent.cfg.replay_capacity_per_env == 64
     assert agent.cfg.ou_sigma_decay_env_steps == 20_000
 
 
