@@ -120,8 +120,15 @@ _PRESETS = {
                         # these cadences (round-4 calibration), so the
                         # shipped fix is the same verify-and-retry the
                         # fast/NAF presets use.
+                        # Restart budget 4: seed 3 measured attempts
+                        # 0 AND 1 collapsing at this recipe (BASELINE.md
+                        # round-5) — the collapse rate at the 200k
+                        # horizon is ~1-in-3 draws, so 2 restarts leave
+                        # a noticeable failure tail; 4 puts the
+                        # all-collapse probability in the percent range
+                        # at ~6 min per retrain.
                         canary_env_steps=200_000, canary_min_eval=150.0,
-                        canary_max_restarts=2,
+                        canary_max_restarts=4,
                         # One log per 10 dispatches: every metric fetch
                         # rides the same host link as dispatches (~20%
                         # throughput tax at one log per dispatch even

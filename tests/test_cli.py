@@ -461,7 +461,11 @@ def test_preset_pixels_merges_without_clobbering():
                                              from_args)
     from cartpoleplusplus_tpu.train import _PRESETS, build, build_parser
 
+    # batch-size 8 keeps the preset's block sampling valid at the tiny
+    # debug env count (the round-5 construction guard requires
+    # batch | num_envs).
     argv = ["--agent", "ddpg", "--preset", "pixels", "--num-envs", "8",
+            "--ddpg.batch-size", "8",
             "--render-size", "24", "--total-env-steps", "4"]
     args = build_parser().parse_args(argv)
     provided = explicit_dests(build_parser(), argv)
