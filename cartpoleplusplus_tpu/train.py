@@ -640,6 +640,16 @@ def main(argv=None) -> int:
                 # artifact — BASELINE.md round-4 sweep); budget clock
                 # and call index restart with the fresh attempt.
                 attempt += 1
+                # Release the collapsed attempt's buffers BEFORE
+                # allocating the fresh state: at pixel scale the
+                # transient two-state overlap (uint8 ring ~1.8 GB each
+                # plus the scan workspace) fragments HBM — without
+                # this, the SECOND restart of a 2048-env pixel run
+                # measured a 16x slower training loop (37k vs 583k
+                # env-steps/s) for the rest of the process (round 5,
+                # seed 3).
+                state = None
+                metrics = None
                 state = fresh_state(run.seed + 1000 * attempt)
                 i = start_call
                 t0 = time.perf_counter()
